@@ -1,0 +1,99 @@
+"""Functional MLP building blocks (param pytrees + pure apply fns).
+
+Weights use the JAX convention w: [din, dout] (y = x @ w + b) so megabatched
+point queries hit the MXU directly. Weight-normalized layers store (v, g, b)
+with w = g * v / ||v||_col, matching torch.nn.utils.weight_norm on Linear
+(norm taken per output unit; stage1/model/network.py:64).
+
+Static architecture info (widths, skip positions) lives OUTSIDE the param
+pytrees, in config dataclasses — params hold arrays only, so they pass through
+optax / jit / shard without stowaway leaves.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- plain linear
+
+def linear_init(key: jax.Array, din: int, dout: int) -> dict:
+    """Torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) weights,
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) bias. Distribution-faithful so converted
+    checkpoints and fresh runs share scale."""
+    kw, kb = jax.random.split(key)
+    bound_w = math.sqrt(1.0 / din)
+    w = jax.random.uniform(kw, (din, dout), minval=-bound_w, maxval=bound_w)
+    b = jax.random.uniform(kb, (dout,), minval=-bound_w, maxval=bound_w)
+    return {"w": w, "b": b}
+
+
+def linear_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"] + p["b"]
+
+
+# ---------------------------------------------------- weight-normalized linear
+
+def wn_from_dense(w: jnp.ndarray, b: jnp.ndarray) -> dict:
+    """Wrap a dense weight in weight-norm parametrization (g = ||w|| per
+    output column, v = w); identical function value at init."""
+    g = jnp.linalg.norm(w, axis=0)  # [dout]
+    return {"v": w, "g": g, "b": b}
+
+
+def wn_linear_init(key: jax.Array, din: int, dout: int) -> dict:
+    p = linear_init(key, din, dout)
+    return wn_from_dense(p["w"], p["b"])
+
+
+def wn_weight(p: dict) -> jnp.ndarray:
+    v = p["v"]
+    norm = jnp.linalg.norm(v, axis=0, keepdims=True)  # [1, dout]
+    return p["g"] * v / norm
+
+
+def wn_linear_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ wn_weight(p) + p["b"]
+
+
+# ------------------------------------------------------- stage2-style skip MLP
+
+def skip_mlp_init(
+    key: jax.Array, din: int, dout: int, width: int, depth: int,
+    skip_at: Sequence[int] = (),
+) -> list:
+    """Init for the stage2 `Network`/`Normal_Network` topology
+    (stage2/model/renderer.py:17-49): layers
+      L0: din -> W;  L_i (1..depth-1): (W+din if (i-1) in skip_at else W) -> W;
+      L_depth: W -> dout,
+    where after activating layer li's output, if li in skip_at the input x is
+    concatenated back on (so layer li+1 sees W+din). Returns a list of linear
+    param dicts (arrays only)."""
+    skips = [s for s in skip_at if s >= 0]
+    dims_in = [din] + [width + din if i in skips else width for i in range(depth - 1)] + [width]
+    dims_out = [width] * depth + [dout]
+    keys = jax.random.split(key, depth + 1)
+    return [linear_init(k, di, do) for k, di, do in zip(keys, dims_in, dims_out)]
+
+
+def skip_mlp_apply(
+    layers: list, x: jnp.ndarray, skip_at: Sequence[int] = (),
+    final_activation: str = "none",
+) -> jnp.ndarray:
+    """final_activation: 'none' (Normal_Network) | 'sigmoid' (Network)."""
+    skips = [s for s in skip_at if s >= 0]
+    n = len(layers)
+    y = x
+    for li, lyr in enumerate(layers):
+        y = linear_apply(lyr, y)
+        if li != n - 1:
+            y = jax.nn.relu(y)
+        elif final_activation == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        if li in skips:
+            y = jnp.concatenate([y, x], axis=-1)
+    return y

@@ -1,0 +1,168 @@
+"""Occupancy-field ray marching: dense sign-scan root finding + secant refine,
+and per-light visibility marching.
+
+TPU-native redesign of stage1/model/rendering.py:410-555 and :378-408:
+  * static shapes everywhere — every ray computes every step; invalid lanes are
+    masked with jnp.where instead of boolean gather/scatter.
+  * the reference's randomized step count n_steps ~ U[256, 512) (rendering.py:441)
+    would force retraces; we instead keep n_steps fixed and jitter the global
+    phase of the proposal grid (same decorrelation effect, one compile).
+  * no max_points chunk loops (rendering.py:456-462) — callers megabatch and,
+    if memory-bound, wrap in lax.map over fixed tiles.
+  * the whole march is a no-grad region (the reference wraps it in no_grad);
+    we stop_gradient the result.
+
+Sentinel convention (rendering.py:519-522): returned depth is
+  d_pred   where a valid inside-crossing was found,
+  +inf     where not,
+  0        where the FIRST proposal sample is already occupied.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from psnerf_tpu.core.compositing import alpha_composite
+from psnerf_tpu.core.rays import get_sphere_intersection
+from psnerf_tpu.core.sampling import linspace_between
+
+TAU = 0.5
+
+
+def _safe_div(a, b, eps=1e-12):
+    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+
+
+def secant(
+    occ_fn,
+    f_low: jnp.ndarray,
+    f_high: jnp.ndarray,
+    d_low: jnp.ndarray,
+    d_high: jnp.ndarray,
+    ray0: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    n_steps: int = 8,
+) -> jnp.ndarray:
+    """Vectorized secant refinement on [d_low, d_high] (rendering.py:525-555).
+
+    occ_fn: points [N, 3] -> occupancy-minus-tau values [N].
+    All of f_low/f_high/d_low/d_high: [N]. Returns refined depths [N].
+    """
+
+    def body(_, state):
+        f_low, f_high, d_low, d_high, d_pred = state
+        p_mid = ray0 + d_pred[..., None] * ray_dir
+        f_mid = occ_fn(p_mid)
+        ind_low = f_mid < 0
+        d_low = jnp.where(ind_low, d_pred, d_low)
+        f_low = jnp.where(ind_low, f_mid, f_low)
+        d_high = jnp.where(ind_low, d_high, d_pred)
+        f_high = jnp.where(ind_low, f_high, f_mid)
+        d_pred = -f_low * _safe_div(d_high - d_low, f_high - f_low) + d_low
+        return f_low, f_high, d_low, d_high, d_pred
+
+    d_pred = -f_low * _safe_div(d_high - d_low, f_high - f_low) + d_low
+    state = (f_low, f_high, d_low, d_high, d_pred)
+    state = jax.lax.fori_loop(0, n_steps, body, state)
+    return state[-1]
+
+
+def ray_marching(
+    occ_fn,
+    ray0: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    n_steps: int = 256,
+    n_secant_steps: int = 8,
+    near: float = 0.0,
+    rad: float = 1.0,
+    clip_box: bool = False,
+    phase_key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Find the first inside-crossing depth along each ray.
+
+    occ_fn: [M, 3] -> occupancy probability in [0, 1], [M] (static arg —
+      partial-apply your field params).
+    ray0/ray_dir: [N, 3], ray_dir unit-norm.
+    Returns d [N] with the inf/0 sentinel convention (module docstring).
+    Reference: stage1/model/rendering.py:410-523.
+    """
+    n = ray0.shape[0]
+    depth_intersect, _ = get_sphere_intersection(ray0[0], ray_dir, r=rad)
+    d_far = depth_intersect[..., 1]  # [N]
+
+    lo = jnp.full((n,), near, dtype=ray0.dtype)
+    d_prop = linspace_between(lo, d_far, n_steps)  # [N, S]
+    if phase_key is not None:
+        # global phase jitter: shift all samples by a shared fraction of one
+        # cell (replaces the reference's randomized step count).
+        cell = (d_far - near) / (n_steps - 1)
+        shift = jax.random.uniform(phase_key, ()) * cell[..., None]
+        d_prop = jnp.concatenate(
+            [d_prop[..., :1], d_prop[..., 1:-1] + shift, d_prop[..., -1:]], axis=-1
+        )
+
+    p_prop = ray0[:, None, :] + ray_dir[:, None, :] * d_prop[..., None]  # [N, S, 3]
+    val = occ_fn(p_prop.reshape(-1, 3)).reshape(n, n_steps) - TAU
+    if clip_box:
+        outside = jnp.any(jnp.abs(p_prop) > 1.0, axis=-1)
+        val = jnp.where(outside, -1.0, val)
+    val = jax.lax.stop_gradient(val)
+
+    mask_0_not_occupied = val[:, 0] < 0
+
+    # first sign change: cost = sign(v_i * v_{i+1}) * (S - i); min picks the
+    # earliest negative product (rendering.py:472-487)
+    sign = jnp.sign(val[:, :-1] * val[:, 1:])
+    sign = jnp.concatenate([sign, jnp.ones((n, 1), val.dtype)], axis=-1)
+    cost = sign * jnp.arange(n_steps, 0, -1, dtype=val.dtype)
+    indices = jnp.argmin(cost, axis=-1)  # [N]
+    values = jnp.min(cost, axis=-1)
+    mask_sign_change = values < 0
+    mask_neg_to_pos = jnp.take_along_axis(val, indices[:, None], axis=-1)[:, 0] < 0
+    mask = mask_sign_change & mask_neg_to_pos & mask_0_not_occupied
+
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx[:, None], axis=-1)[:, 0]
+    d_low = take(d_prop, indices)
+    f_low = take(val, indices)
+    idx_hi = jnp.minimum(indices + 1, n_steps - 1)
+    d_high = take(d_prop, idx_hi)
+    f_high = take(val, idx_hi)
+
+    occ_minus_tau = lambda p: occ_fn(p) - TAU
+    d_pred = secant(
+        occ_minus_tau, f_low, f_high, d_low, d_high, ray0, ray_dir, n_secant_steps
+    )
+
+    d_out = jnp.where(mask, d_pred, jnp.inf)
+    d_out = jnp.where(mask_0_not_occupied, d_out, 0.0)
+    return jax.lax.stop_gradient(d_out)
+
+
+def light_visibility(
+    occ_fn,
+    surf: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    lnear: float = 0.1,
+    lfar: float = 3.5,
+    n_steps: int = 128,
+    box: float = 1.1,
+) -> jnp.ndarray:
+    """Transmittance toward each light: 1 - integrated occupancy along the
+    light ray (stage1/model/rendering.py:378-408).
+
+    surf: [N, 3] surface points; light_dir: [L, 3] unit dirs.
+    Returns visibility [L, N] in [0, 1]. The L axis is a vmapped array axis —
+    no Python light loop (replaces the lbatch=96 loop, rendering.py:367-372).
+    """
+    t = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
+
+    def one_light(ldir):
+        p = surf[:, None, :] + ldir[None, None, :] * t[None, :, None]  # [N, S, 3]
+        alpha = occ_fn(p.reshape(-1, 3)).reshape(-1, n_steps)
+        inside = jnp.all((p <= box) & (p >= -box), axis=-1)  # [N, S]
+        alpha = jnp.where(inside, alpha, 0.0)
+        acc = jnp.sum(alpha_composite(alpha), axis=-1)
+        return 1.0 - acc
+
+    return jax.lax.stop_gradient(jax.vmap(one_light)(light_dir))

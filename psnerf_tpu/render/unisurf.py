@@ -1,0 +1,196 @@
+"""UNISURF-style surface+volume hybrid renderer, stage-1.
+
+TPU-native redesign of stage1/model/rendering.py:50-376:
+  * one dense megabatch — every ray evaluates the same static-shape sample
+    grid; hit/miss rays select their depth schedule with jnp.where instead of
+    boolean scatter (rendering.py:171-173).
+  * the `(dnp!=0).all() and it > 5000` switch to steps+steps_outside
+    (rendering.py:124-127) is a static `use_outside` flag decided by the
+    caller from `it` (dnp is clamped to near > 0, so the data-dependent part
+    is vacuous for the shipped configs).
+  * normals + jittered duplicates for the smoothness loss are computed densely
+    for all rays; the loss masks them (rendering.py:199-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from psnerf_tpu.core.compositing import alpha_composite
+from psnerf_tpu.core.rays import (
+    get_sphere_intersection,
+    image_points_to_ray,
+    origin_to_world,
+)
+from psnerf_tpu.core.sampling import linspace_between, stratified_noise
+from psnerf_tpu.fields.occupancy import (
+    OccFieldConfig,
+    occ_alpha,
+    occ_gradient,
+    radiance_and_alpha,
+)
+from psnerf_tpu.render.marching import light_visibility, ray_marching
+
+
+@dataclasses.dataclass(frozen=True)
+class UnisurfConfig:
+    near: float = 28.0
+    far: float = 35.0
+    radius: float = 2.0
+    interval_start: float = 2.0
+    interval_end: float = 0.1
+    interval_decay: float = 1.5e-5
+    num_points_in: int = 64       # steps inside the adaptive interval
+    num_points_out: int = 32      # extra steps between near and the interval
+    ray_marching_steps: int = 256
+    white_background: bool = True
+
+
+def _march_and_surface(field_params, field_cfg, rcfg, pixels, camera_mat,
+                       world_mat, n_steps, phase_key=None):
+    """Shared preamble: rays, root-finding march, surface points/masks."""
+    n = pixels.shape[0]
+    cam = origin_to_world(n, world_mat)
+    ray = image_points_to_ray(pixels, camera_mat, world_mat)
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+    occ_fn = lambda p: occ_alpha(field_params, p, field_cfg)
+    d_i = ray_marching(
+        occ_fn, cam, ray, n_steps=n_steps, near=rcfg.near, rad=rcfg.radius,
+        phase_key=phase_key,
+    )
+    mask_zero_occupied = d_i == 0
+    mask_pred = jnp.isfinite(d_i)
+    surface_mask = mask_pred & ~mask_zero_occupied
+    dists = jnp.where(mask_pred, d_i, 1.0)
+    dists = jnp.where(mask_zero_occupied, 0.0, dists)
+    points = cam + ray * dists[..., None]
+    return cam, ray, dists, points, surface_mask
+
+
+def render_unisurf(
+    field_params: dict,
+    field_cfg: OccFieldConfig,
+    rcfg: UnisurfConfig,
+    pixels: jnp.ndarray,        # [N, 2] pixel coords
+    camera_mat: jnp.ndarray,    # [4, 4] intrinsics
+    world_mat: jnp.ndarray,     # [4, 4] c2w
+    it: jnp.ndarray | float = 1e5,
+    key: Optional[jax.Array] = None,   # None => no stratified noise (eval)
+    use_outside: bool = True,   # static: steps+steps_outside grid (it > 5000)
+    train: bool = True,         # static: also produce jittered-normal pairs
+) -> dict:
+    """Volumetric render with surface-adaptive sampling.
+
+    Reference: stage1/model/rendering.py:50-226. Returns dict with
+    rgb [N,3], mask_pred [N] bool, normal_pred [N,3], diff_norm [N] (train),
+    acc_map [N].
+    """
+    steps, steps_out = rcfg.num_points_in, rcfg.num_points_out
+    full_steps = steps + steps_out if use_outside else steps
+
+    k_phase, k_n1, k_n2, k_jit = (
+        jax.random.split(key, 4) if key is not None else (None,) * 4
+    )
+
+    cam, ray, dists, points, surface_mask = _march_and_surface(
+        field_params, field_cfg, rcfg, pixels, camera_mat, world_mat,
+        rcfg.ray_marching_steps, phase_key=k_phase,
+    )
+    n = pixels.shape[0]
+
+    depth_intersect, _ = get_sphere_intersection(cam[0], ray, r=rcfg.radius)
+    d_sphere_far = depth_intersect[..., 1]  # [N]
+
+    # adaptive interval width (decays over training; rendering.py:116-118)
+    it = jnp.asarray(it, dtype=jnp.float32)
+    delta = jnp.maximum(
+        rcfg.interval_start * jnp.exp(-rcfg.interval_decay * it),
+        rcfg.interval_end,
+    )
+
+    # hit-ray schedule: steps in [dnp, dfp] (+ steps_out in [near, dnp])
+    dnp = jnp.maximum(dists - delta, rcfg.near)
+    dfp = jnp.minimum(dists + delta, d_sphere_far)
+    d_interval = linspace_between(dnp, dfp, steps)  # [N, steps]
+    if use_outside:
+        d_b = linspace_between(jnp.full_like(dnp, rcfg.near), dnp, steps_out)
+        d_hit = jnp.concatenate([d_b, d_interval], axis=-1)  # sorted by constr.
+    else:
+        d_hit = d_interval
+
+    # miss-ray schedule: full_steps in [near, sphere-far]
+    d_miss = linspace_between(jnp.full_like(dnp, rcfg.near), d_sphere_far, full_steps)
+
+    if key is not None:
+        d_hit = stratified_noise(d_hit, k_n1)
+        d_miss = stratified_noise(d_miss, k_n2)
+
+    d_all = jnp.where(surface_mask[:, None], d_hit, d_miss)  # [N, S]
+    p_fg = cam[:, None, :] + ray[:, None, :] * d_all[..., None]  # [N, S, 3]
+    ray_fg = jnp.broadcast_to(-ray[:, None, :], p_fg.shape)
+
+    rgb, alpha = radiance_and_alpha(field_params, p_fg, ray_fg, field_cfg)
+    weights = alpha_composite(alpha)  # [N, S]
+    rgb_values = jnp.sum(weights[..., None] * rgb, axis=-2)  # [N, 3]
+
+    # surface normals (+ jittered pair for smoothness; rendering.py:199-212)
+    if train:
+        neigh = points + (jax.random.uniform(k_jit, points.shape) - 0.5) * 0.01
+        pp = jnp.concatenate([points, neigh], axis=0)
+    else:
+        pp = points
+    g = occ_gradient(field_params, pp, field_cfg)
+    normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
+    norm_pred = jnp.where(surface_mask[:, None], normals[:n], 0.0)
+    diff_norm = (
+        jnp.linalg.norm(normals[:n] - normals[n:], axis=-1) if train else None
+    )
+
+    acc_map = jnp.sum(weights, axis=-1)
+    if rcfg.white_background:
+        rgb_values = rgb_values + (1.0 - acc_map[..., None])
+
+    return {
+        "rgb": rgb_values,
+        "mask_pred": surface_mask,
+        "normal_pred": norm_pred,
+        "diff_norm": diff_norm,
+        "acc_map": acc_map,
+        "points": points,
+    }
+
+
+def render_shape_extract(
+    field_params: dict,
+    field_cfg: OccFieldConfig,
+    rcfg: UnisurfConfig,
+    pixels: jnp.ndarray,
+    camera_mat: jnp.ndarray,
+    world_mat: jnp.ndarray,
+    light_dir: Optional[jnp.ndarray] = None,  # [L, 3] -> also visibility
+    n_steps: int = 512,
+) -> dict:
+    """Export per-pixel surface points / normals / mask (+ per-light
+    visibility). Reference: stage1/model/rendering.py:297-376.
+
+    Visibility marches ALL pixels toward each light and masks the result —
+    the light axis is vmapped, replacing the 96-light Python loop.
+    """
+    _, _, _, points, surface_mask = _march_and_surface(
+        field_params, field_cfg, rcfg, pixels, camera_mat, world_mat, n_steps
+    )
+    g = occ_gradient(field_params, points, field_cfg)
+    normals = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    norm_pred = jnp.where(surface_mask[:, None], normals, 0.0)
+
+    out = {"mask": surface_mask, "normal": norm_pred, "points": points}
+    if light_dir is not None:
+        occ_fn = lambda p: occ_alpha(field_params, p, field_cfg)
+        vis = light_visibility(occ_fn, points, light_dir)  # [L, N]
+        out["visibility"] = jnp.where(surface_mask[None, :], vis, 1.0)
+    return out

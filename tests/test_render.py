@@ -1,0 +1,209 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psnerf_tpu.fields import (
+    OccFieldConfig,
+    PSNetConfig,
+    init_occupancy_field,
+    init_psnet,
+    occ_alpha,
+)
+from psnerf_tpu.render import (
+    UnisurfConfig,
+    light_visibility,
+    ray_marching,
+    render_psnet,
+    render_shape_extract,
+    render_unisurf,
+    secant,
+)
+
+
+def sphere_occ(p, r=0.7, sharp=50.0):
+    """Analytic occupancy of a sphere: ~1 inside, ~0 outside, smooth edge."""
+    d = jnp.linalg.norm(p, axis=-1) - r
+    return jax.nn.sigmoid(-sharp * d)
+
+
+def test_ray_marching_analytic_sphere():
+    # camera at z=-3 shooting +z: surface at depth 3 - 0.7 = 2.3
+    n = 8
+    ray0 = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (n, 1))
+    ys = jnp.linspace(0.0, 1.2, n)  # rays tilt away from the sphere
+    dirs = jnp.stack([jnp.zeros(n), ys, jnp.ones(n)], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = ray_marching(sphere_occ, ray0, dirs, n_steps=128, near=0.5, rad=2.0)
+    d = np.asarray(d)
+    # central ray hits at 2.3
+    assert abs(d[0] - 2.3) < 0.01
+    # steep rays miss -> inf sentinel
+    assert np.isinf(d[-1])
+    # hit depths are finite and ordered increasing with tilt until miss
+    finite = np.isfinite(d)
+    assert finite[0] and not finite[-1]
+    assert np.all(np.diff(d[finite]) > -1e-3)
+
+
+def test_ray_marching_zero_sentinel():
+    # ray starting inside the object: first sample occupied -> 0 sentinel
+    ray0 = jnp.zeros((2, 3))
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    d = ray_marching(sphere_occ, ray0, dirs, n_steps=64, near=0.01, rad=2.0)
+    np.testing.assert_allclose(np.asarray(d), 0.0)
+
+
+def test_secant_refines_root():
+    # f(d) = occ(ray(d)) - 0.5 crossing at d = 2.3
+    ray0 = jnp.asarray([[0.0, 0.0, -3.0]])
+    rdir = jnp.asarray([[0.0, 0.0, 1.0]])
+    occ_minus = lambda p: sphere_occ(p) - 0.5
+    d = secant(
+        occ_minus,
+        f_low=jnp.asarray([-0.49]), f_high=jnp.asarray([0.49]),
+        d_low=jnp.asarray([2.0]), d_high=jnp.asarray([2.6]),
+        ray0=ray0, ray_dir=rdir,
+    )
+    assert abs(float(d[0]) - 2.3) < 1e-4
+
+
+def test_light_visibility_self_shadow():
+    # point on the -z surface of the sphere: light from -z is unoccluded,
+    # light from +z passes through the body -> occluded
+    surf = jnp.asarray([[0.0, 0.0, -0.7]])
+    lights = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+    vis = light_visibility(sphere_occ, surf, lights, lnear=0.05, lfar=3.0)
+    assert vis.shape == (2, 1)
+    assert float(vis[0, 0]) > 0.85  # smooth analytic edge leaks a little alpha
+    assert float(vis[1, 0]) < 0.1
+
+
+FIELD_CFG = OccFieldConfig(num_layers=4, hidden_dim=64, feat_size=64)
+RCFG = UnisurfConfig(
+    near=1.0, far=5.0, radius=2.0, num_points_in=16, num_points_out=8,
+    ray_marching_steps=64,
+)
+
+
+def _camera():
+    # camera at (0,0,-3) looking +z (c2w with z column +z)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -3.0]))
+    k = jnp.asarray(
+        [[100.0, 0, 32, 0], [0, 100.0, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+    )
+    return k, pose
+
+
+def test_render_unisurf_shapes_and_grads():
+    params = init_occupancy_field(jax.random.PRNGKey(0), FIELD_CFG)
+    k, pose = _camera()
+    pix = jnp.asarray([[32.0, 32.0], [10.0, 50.0], [40.0, 28.0]])
+
+    def loss_fn(p):
+        out = render_unisurf(
+            p, FIELD_CFG, RCFG, pix, k, pose, it=10000.0,
+            key=jax.random.PRNGKey(1), use_outside=True, train=True,
+        )
+        return jnp.sum(out["rgb"]) + jnp.sum(out["diff_norm"])
+
+    out = render_unisurf(
+        params, FIELD_CFG, RCFG, pix, k, pose, it=10000.0,
+        key=None, use_outside=True, train=False,
+    )
+    assert out["rgb"].shape == (3, 3)
+    assert out["normal_pred"].shape == (3, 3)
+    assert out["acc_map"].shape == (3,)
+    assert out["mask_pred"].dtype == jnp.bool_
+    assert bool(jnp.all(jnp.isfinite(out["rgb"])))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_render_shape_extract_outputs():
+    params = init_occupancy_field(jax.random.PRNGKey(0), FIELD_CFG)
+    k, pose = _camera()
+    pix = jnp.asarray([[32.0, 32.0], [0.0, 0.0]])
+    lights = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    out = render_shape_extract(
+        params, FIELD_CFG, RCFG, pix, k, pose, light_dir=lights, n_steps=64
+    )
+    assert out["points"].shape == (2, 3)
+    assert out["normal"].shape == (2, 3)
+    assert out["mask"].shape == (2,)
+    assert out["visibility"].shape == (3, 2)
+    assert float(out["visibility"].min()) >= 0.0
+    assert float(out["visibility"].max()) <= 1.0
+
+
+PS_CFG = PSNetConfig(
+    mlp_width=32, sg_mlp_width=16, normal_mlp_width=32, vis_mlp_width=32,
+    vis_mlp_depth=4, vis_mlp_skip_at=2,
+)
+
+
+def _ps_inputs(n=6, l=4):
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (n, 3)) * 0.3
+    normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    mask = jnp.asarray([True] * (n - 2) + [False, False])
+    rays = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    ldirs = jax.random.normal(jax.random.PRNGKey(1), (l, 3))
+    ldirs = ldirs / jnp.linalg.norm(ldirs, axis=-1, keepdims=True)
+    lints = jnp.full((l,), 2.0)
+    return pts, normals, mask, rays, ldirs, lints
+
+
+def test_render_psnet_shapes():
+    params = init_psnet(jax.random.PRNGKey(0), PS_CFG)
+    pts, normals, mask, rays, ldirs, lints = _ps_inputs()
+    out = render_psnet(
+        params, PS_CFG, pts, normals, mask, rays, ldirs, lints,
+        key=jax.random.PRNGKey(2),
+        light_vis_train=ldirs[:2],
+    )
+    n, l = pts.shape[0], ldirs.shape[0]
+    assert out["rgb"].shape == (l, n, 3)
+    assert out["albedo"].shape == (n, 3)
+    assert out["sg_weight"].shape == (n, PS_CFG.n_weights)
+    assert out["visibility"].shape == (l, n, 1)
+    assert out["normal_pred"].shape == (n, 3)
+    assert out["vis_train"].shape == (2, n)
+    assert out["albedo_jitter"].shape == (n, 3)
+    assert out["rough_jitter"].shape == (n, PS_CFG.n_weights)
+    # rgb clamped, masked-out pixels are white (fill = 1)
+    assert float(out["rgb"].min()) >= 0.0 and float(out["rgb"].max()) <= 1.0
+    np.testing.assert_allclose(np.asarray(out["rgb"][:, -2:, :]), 1.0)
+    # normal_pred unit-norm inside mask
+    nrm = np.linalg.norm(np.asarray(out["normal_pred"][:4]), axis=-1)
+    np.testing.assert_allclose(nrm, 1.0, rtol=1e-5)
+
+
+def test_render_psnet_albedo_edit():
+    params = init_psnet(jax.random.PRNGKey(0), PS_CFG)
+    pts, normals, mask, rays, ldirs, lints = _ps_inputs()
+    out = render_psnet(
+        params, PS_CFG, pts, normals, mask, rays, ldirs, lints,
+        albedo_new=jnp.asarray([0.9, 0.1, 0.1]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["albedo"][:4]), np.tile([0.9, 0.1, 0.1], (4, 1)), rtol=1e-6
+    )
+    out2 = render_psnet(
+        params, PS_CFG, pts, normals, mask, rays, ldirs, lints, basis_new=3
+    )
+    w = np.asarray(out2["sg_weight"][:4]).reshape(4, 3, 9)
+    np.testing.assert_allclose(w[:, :, 3], 2.0**3 / 100.0, rtol=1e-6)
+    assert np.all(w[:, :, [0, 1, 2, 4, 5, 6, 7, 8]] == 0)
+
+
+def test_render_psnet_microfacet():
+    cfg = PSNetConfig(render_model="microfacet", mlp_width=32,
+                      normal_mlp=False, visibility=False)
+    params = init_psnet(jax.random.PRNGKey(0), cfg)
+    pts, normals, mask, rays, ldirs, lints = _ps_inputs()
+    out = render_psnet(params, cfg, pts, normals, mask, rays, ldirs, lints)
+    assert out["rgb"].shape == (4, 6, 3)
+    assert bool(jnp.all(jnp.isfinite(out["rgb"])))
