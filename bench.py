@@ -1,0 +1,125 @@
+"""Benchmark: stage-2 multi-light frame render throughput on one chip.
+
+Primary metric (BASELINE.json): pixel-light rays/sec for a 512x512 x 96-light
+stage-2 render. `vs_baseline` compares the fused single-launch frame renderer
+against a faithful emulation of the reference's serialization — 64-light
+chunks x 1024-pixel splits, each a separate device dispatch
+(stage2/eval.py:347-365) — measured on the SAME chip, same math, so the ratio
+isolates the design (megabatch + vmapped lights vs nested Python loops).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+H = W = 512
+N_LIGHTS = 96
+TILE = 4096
+REPS = 3
+
+
+def setup():
+    from psnerf_tpu.fields import PSNetConfig, init_psnet
+
+    cfg = PSNetConfig()  # full bear config: 9x3 SG basis, vis MLP 8x256
+    params = init_psnet(jax.random.PRNGKey(0), cfg)
+
+    n = H * W
+    key = jax.random.PRNGKey(1)
+    # synthetic surface of a sphere-ish blob (throughput is weight/data
+    # independent; quality parity is validated separately in tests/eval)
+    pts = jax.random.normal(key, (n, 3)) * 0.3
+    nrm = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    mask = jnp.ones((n,), bool)
+    xs, ys = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="ij")
+    uv = jnp.stack([xs, ys], -1).reshape(-1, 2).astype(jnp.float32)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -3.0]))
+    K = jnp.asarray(
+        [[500.0, 0, W / 2, 0], [0, 500.0, H / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+    )
+    ldirs = jax.random.normal(jax.random.PRNGKey(3), (N_LIGHTS, 3))
+    ldirs = ldirs / jnp.linalg.norm(ldirs, axis=-1, keepdims=True)
+    lints = jnp.full((N_LIGHTS,), 2.0)
+    return cfg, params, (uv, pose, K, pts, nrm, mask, ldirs, lints)
+
+
+def bench_fused(cfg, params, args):
+    from psnerf_tpu.eval import make_frame_renderer
+
+    render = make_frame_renderer(cfg, tile=TILE, outputs=("rgb",))
+    out = render(params, *args)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = render(params, *args)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / REPS
+    return dt, out["rgb"]
+
+
+def bench_reference_style(cfg, params, args, light_chunk=64, px_chunk=1024,
+                          sample_frac=8):
+    """Reference loop structure: per 64-light chunk, per 1024-px split, one
+    dispatch (stage2/eval.py:347-365). Times 1/sample_frac of the pixel
+    splits and extrapolates (the loop is homogeneous)."""
+    from psnerf_tpu.render.shading import render_psnet
+    from psnerf_tpu.core.rays import get_camera_params
+
+    uv, pose, K, pts, nrm, mask, ldirs, lints = args
+    ray_dirs, _ = get_camera_params(uv, pose, K)
+
+    @jax.jit
+    def chunk_fn(params, pts, nrm, msk, rays, ld, li):
+        return render_psnet(params, cfg, pts, nrm, msk, rays, ld, li)["rgb"]
+
+    n = uv.shape[0]
+    n_px_chunks = n // px_chunk
+    n_l_chunks = (N_LIGHTS + light_chunk - 1) // light_chunk
+    # warm both light-chunk shapes
+    for ls in range(0, N_LIGHTS, light_chunk):
+        le = min(N_LIGHTS, ls + light_chunk)
+        jax.block_until_ready(chunk_fn(
+            params, pts[:px_chunk], nrm[:px_chunk], mask[:px_chunk],
+            ray_dirs[:px_chunk], ldirs[ls:le], lints[ls:le]))
+
+    n_timed = max(1, n_px_chunks // sample_frac)
+    t0 = time.perf_counter()
+    for ls in range(0, N_LIGHTS, light_chunk):
+        le = min(N_LIGHTS, ls + light_chunk)
+        for ci in range(n_timed):
+            s = ci * px_chunk
+            out = chunk_fn(
+                params, pts[s:s + px_chunk], nrm[s:s + px_chunk],
+                mask[s:s + px_chunk], ray_dirs[s:s + px_chunk],
+                ldirs[ls:le], lints[ls:le],
+            )
+        jax.block_until_ready(out)
+    dt_sampled = time.perf_counter() - t0
+    return dt_sampled * (n_px_chunks / n_timed)
+
+
+def main():
+    cfg, params, args = setup()
+    dt_fused, rgb = bench_fused(cfg, params, args)
+    rays = H * W * N_LIGHTS
+    dt_ref = bench_reference_style(cfg, params, args)
+    print(json.dumps({
+        "metric": "stage2 multi-light render rays/sec/chip (512x512x96)",
+        "value": round(rays / dt_fused, 1),
+        "unit": "pixel-lights/sec",
+        "vs_baseline": round(dt_ref / dt_fused, 2),
+        "frame_ms": round(dt_fused * 1e3, 1),
+        "reference_style_frame_ms": round(dt_ref * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

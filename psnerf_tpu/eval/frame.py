@@ -1,0 +1,77 @@
+"""Full-frame stage-2 rendering: the 20x-target path.
+
+The reference renders a 512x512 x 96-light frame as ~512 sequential Python
+calls (64-light chunks x 1024-pixel splits, stage2/eval.py:347-365). Here the
+whole frame is ONE jitted computation: lax.map over fixed pixel tiles (to
+bound VMEM/HBM working set), with all L lights vmapped inside each tile.
+Per-point heads run once per pixel; only the per-(light,pixel) shading and
+visibility MLP scale with L.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from psnerf_tpu.core.rays import get_camera_params
+from psnerf_tpu.fields.psnet import PSNetConfig
+from psnerf_tpu.render.shading import render_psnet
+
+
+def render_frame_stage2(
+    params: dict,
+    cfg: PSNetConfig,
+    uv: jnp.ndarray,            # [N, 2] all frame pixels
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    points: jnp.ndarray,        # [N, 3]
+    normals: jnp.ndarray,       # [N, 3]
+    surface_mask: jnp.ndarray,  # [N]
+    light_dirs: jnp.ndarray,    # [L, 3]
+    light_ints: jnp.ndarray,    # [L]
+    tile: int = 4096,
+    outputs: tuple = ("rgb",),
+) -> dict:
+    """Render every pixel under every light. N must be divisible by `tile`
+    (callers pad the frame). Returns {name: [L, N, ...] or [N, ...]}."""
+    n = uv.shape[0]
+    assert n % tile == 0, f"pixel count {n} not divisible by tile {tile}"
+    ray_dirs, _ = get_camera_params(uv, pose, intrinsics)
+
+    def render_tile(args):
+        pts, nrm, msk, rays = args
+        out = render_psnet(
+            params, cfg, pts, nrm, msk, rays, light_dirs, light_ints, key=None
+        )
+        return {k: out[k] for k in outputs}
+
+    tiles = (
+        points.reshape(-1, tile, 3),
+        normals.reshape(-1, tile, 3),
+        surface_mask.reshape(-1, tile),
+        ray_dirs.reshape(-1, tile, 3),
+    )
+    per_tile = jax.lax.map(render_tile, tiles)  # leading tile axis
+
+    def merge(v):
+        # [T, L, tile, ...] -> [L, N, ...] ; [T, tile, ...] -> [N, ...]
+        if v.ndim >= 3 and v.shape[1] == light_dirs.shape[0]:
+            return jnp.moveaxis(v, 0, 1).reshape(
+                v.shape[1], n, *v.shape[3:]
+            )
+        return v.reshape(n, *v.shape[2:])
+
+    return {k: merge(v) for k, v in per_tile.items()}
+
+
+def make_frame_renderer(cfg: PSNetConfig, tile: int = 4096,
+                        outputs: tuple = ("rgb",)):
+    """Jit-once closure over static config."""
+    fn = partial(render_frame_stage2, tile=tile, outputs=outputs)
+    return jax.jit(
+        lambda params, uv, pose, K, pts, nrm, msk, ld, li: fn(
+            params, cfg, uv, pose, K, pts, nrm, msk, ld, li
+        )
+    )

@@ -1,0 +1,73 @@
+"""Device mesh + sharding layout for multi-chip scaling.
+
+The reference is single-GPU; its scaling story is Python chunk loops
+(SURVEY.md §2.b). Here scaling is jax.sharding over a 1-D "rays" mesh axis:
+
+  * both stages are data-parallel over the ray/pixel axis — rays are
+    embarrassingly parallel, so layouts put the pixel axis on the mesh and
+    replicate params; XLA inserts the gradient all-reduce (psum over ICI)
+    when the jitted train step consumes sharded batches with replicated
+    params.
+  * the light axis stays vmapped per device (L is small: 10 train / 96 eval);
+    per-light work is already parallel across rays.
+  * light embedding tables (<= views x 96 x 3 floats) are replicated; their
+    row-sparse Adam update is cheap everywhere.
+
+No hand-written collectives are needed — this module only names the layout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the ray axis. n_devices=None uses every visible device."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+# keys whose FIRST axis is the pixel axis
+_STAGE2_PIX0 = ("uv", "object_mask", "points", "normal", "surface_mask")
+# keys whose SECOND axis is the pixel axis (leading light axis)
+_STAGE2_PIX1 = ("rgb_gt", "visibility", "vis_train_gt")
+
+
+def shard_stage2_batch(batch: dict, mesh: Mesh) -> dict:
+    """Lay a stage-2 batch out over the ray axis (everything else replicated).
+    Pixel counts must be divisible by the mesh size (data layer pads)."""
+    out = {}
+    for k, v in batch.items():
+        if k in _STAGE2_PIX0:
+            spec = P(RAY_AXIS)
+        elif k in _STAGE2_PIX1:
+            spec = P(None, RAY_AXIS)
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+_STAGE1_PIX0 = ("pixels", "rgb_gt", "normal_gt", "norm_mask", "mask_gt", "mask_valid")
+
+
+def shard_stage1_batch(batch: dict, mesh: Mesh) -> dict:
+    out = {}
+    for k, v in batch.items():
+        spec = P(RAY_AXIS) if k in _STAGE1_PIX0 else P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from psnerf_tpu.mesh import (
+    MISE,
+    MeshProximity,
+    chamfer_distance,
+    extract_mesh,
+    load_mesh,
+    marching_cubes,
+    sample_surface,
+    save_obj,
+    save_ply,
+)
+
+
+def sphere_logit(pts, r=0.7):
+    """Inside-positive analytic field."""
+    return r - np.linalg.norm(pts, axis=-1)
+
+
+def test_marching_on_analytic_sphere():
+    n = 33
+    lin = np.linspace(-1, 1, n)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    vol = 0.7 - np.linalg.norm(g, axis=-1)
+    verts, tris = marching_cubes(vol, 0.0)
+    assert len(verts) > 100 and len(tris) > 100
+    # vertices lie on the r=0.7 sphere (in world units after rescale)
+    world = verts / (n - 1) * 2.0 - 1.0
+    radii = np.linalg.norm(world, axis=-1)
+    np.testing.assert_allclose(radii, 0.7, atol=0.01)
+    # triangle indices valid
+    assert tris.min() >= 0 and tris.max() < len(verts)
+    # watertight-ish: every edge shared by exactly 2 triangles
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+def test_mise_matches_dense_evaluation():
+    """MISE octree refinement must reproduce the analytic field's sign
+    structure of a dense grid at final resolution (near the surface)."""
+    mise = MISE(8, 2, 0.0)
+    res = mise.resolution
+    assert res == 32
+    points = mise.query()
+    n_evals = 0
+    while points.shape[0] != 0:
+        pts = points.astype(np.float64) / res * 2.0 - 1.0
+        vals = sphere_logit(pts)
+        mise.update(points, vals)
+        n_evals += len(points)
+        points = mise.query()
+    dense = mise.to_dense()
+    assert dense.shape == (res + 1,) * 3
+    assert np.isnan(dense).sum() == 0
+    # far fewer evaluations than the dense grid
+    assert n_evals < (res + 1) ** 3 * 0.6
+    # sign agreement with the analytic field everywhere
+    lin = np.linspace(-1, 1, res + 1)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    exact = sphere_logit(g)
+    # surface cells are fully refined: check sign matches where |exact| > one
+    # coarse cell (conservative band)
+    band = 2.0 / res * 2
+    far = np.abs(exact) > band
+    assert ((dense > 0) == (exact > 0))[far].all()
+    near = np.abs(exact) <= 2.0 / res
+    assert ((dense > 0) == (exact > 0))[near].mean() > 0.98
+
+
+def test_extract_mesh_end_to_end_radius():
+    verts, tris = extract_mesh(
+        sphere_logit, resolution0=16, upsampling_steps=2, padding=0.4
+    )
+    radii = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(radii.mean(), 0.7, atol=0.01)
+    assert radii.std() < 0.01
+
+
+def test_proximity_and_chamfer():
+    # two concentric sphere meshes, radii 0.7 and 0.5 -> chamfer ~ 0.2
+    v1, t1 = extract_mesh(lambda p: sphere_logit(p, 0.7), resolution0=16,
+                          upsampling_steps=1)
+    v2, t2 = extract_mesh(lambda p: sphere_logit(p, 0.5), resolution0=16,
+                          upsampling_steps=1)
+    prox = MeshProximity(v1, t1)
+    d = prox.distances(np.asarray([[0.0, 0.0, 0.0], [0.7, 0.0, 0.0]]))
+    np.testing.assert_allclose(d[0], 0.7, atol=0.02)
+    assert d[1] < 0.02
+    cd = chamfer_distance(v1, t1, v2, t2, num_samples=2000)
+    np.testing.assert_allclose(cd, 0.2, atol=0.01)
+    cd_same = chamfer_distance(v1, t1, v1, t1, num_samples=2000)
+    assert cd_same < 0.005
+
+
+def test_mesh_io_roundtrip(tmp_path):
+    v, t = extract_mesh(sphere_logit, resolution0=8, upsampling_steps=1)
+    for name, save in (("m.obj", save_obj), ("m.ply", save_ply)):
+        path = str(tmp_path / name)
+        save(path, v, t)
+        v2, t2 = load_mesh(path)
+        np.testing.assert_allclose(v2, v, atol=1e-4)
+        np.testing.assert_array_equal(t2, t)
+
+
+def test_sample_surface_on_sphere():
+    v, t = extract_mesh(sphere_logit, resolution0=16, upsampling_steps=1)
+    pts = sample_surface(v, t, 5000)
+    radii = np.linalg.norm(pts, axis=-1)
+    np.testing.assert_allclose(radii.mean(), 0.7, atol=0.02)

@@ -1,0 +1,192 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psnerf_tpu.fields import (
+    OccFieldConfig,
+    PSNetConfig,
+    init_occupancy_field,
+    init_psnet,
+)
+from psnerf_tpu.render import UnisurfConfig
+from psnerf_tpu.train import (
+    Stage1TrainConfig,
+    Stage2TrainConfig,
+    adam_init,
+    adam_update,
+    make_stage1_train_step,
+    make_stage2_train_step,
+    multistep_lr,
+    row_mask_from_indices,
+)
+from psnerf_tpu.train.stage2 import init_stage2_params, light_direction_error_deg
+
+
+def test_multistep_lr():
+    np.testing.assert_allclose(float(multistep_lr(1.0, [10, 20], 0.5, 5)), 1.0)
+    np.testing.assert_allclose(float(multistep_lr(1.0, [10, 20], 0.5, 10)), 0.5)
+    np.testing.assert_allclose(float(multistep_lr(1.0, [10, 20], 0.5, 25)), 0.25)
+    np.testing.assert_allclose(float(multistep_lr(1.0, [], 0.5, 25)), 1.0)
+
+
+def test_adam_gate_freezes_params_and_moments():
+    params = {"a": jnp.ones((4, 2)), "b": jnp.ones((3,))}
+    grads = {"a": jnp.ones((4, 2)), "b": jnp.ones((3,))}
+    state = adam_init(params)
+    gate = {"a": jnp.asarray(0.0), "b": jnp.asarray(1.0)}
+    p2, s2 = adam_update(params, grads, state, 0.1, gate=gate)
+    np.testing.assert_array_equal(np.asarray(p2["a"]), np.ones((4, 2)))
+    np.testing.assert_array_equal(np.asarray(s2["m"]["a"]), 0.0)
+    assert int(s2["step"]["a"]) == 0
+    assert float(jnp.abs(p2["b"] - 1.0).max()) > 0
+    assert int(s2["step"]["b"]) == 1
+
+
+def test_adam_row_gate_sparse_semantics():
+    params = jnp.ones((5, 3))
+    grads = jnp.ones((5, 3))
+    state = adam_init(params)
+    gate = row_mask_from_indices(5, jnp.asarray([1, 3]))
+    p2, s2 = adam_update(params, grads, state, 0.1, gate=gate)
+    changed = np.any(np.asarray(p2) != 1.0, axis=-1)
+    np.testing.assert_array_equal(changed, [False, True, False, True, False])
+    m = np.asarray(s2["m"])
+    assert np.all(m[[0, 2, 4]] == 0) and np.all(m[[1, 3]] != 0)
+
+
+FIELD_CFG = OccFieldConfig(num_layers=4, hidden_dim=64, feat_size=64)
+RCFG = UnisurfConfig(near=1.0, far=5.0, radius=2.0, num_points_in=16,
+                     num_points_out=8, ray_marching_steps=64)
+
+
+def _stage1_batch(n=64):
+    k = jnp.asarray(
+        [[80.0, 0, 32, 0], [0, 80.0, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+    )
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -3.0]))
+    key = jax.random.PRNGKey(0)
+    pix = jax.random.uniform(key, (n, 2), minval=16.0, maxval=48.0)
+    return {
+        "pixels": pix,
+        "rgb_gt": jnp.full((n, 3), 0.5),
+        "camera_mat": k,
+        "world_mat": pose,
+        "normal_gt": jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1)),
+        "norm_mask": jnp.ones((n,), bool),
+        "mask_gt": jnp.ones((n,)),
+        "mask_valid": jnp.ones((n,), bool),
+    }
+
+
+def test_stage1_train_step_decreases_loss():
+    params = init_occupancy_field(jax.random.PRNGKey(0), FIELD_CFG)
+    tcfg = Stage1TrainConfig(learning_rate=3e-4, milestone_iters=(1000,))
+    init_opt, step = make_stage1_train_step(FIELD_CFG, RCFG, tcfg)
+    opt_state = init_opt(params)
+    batch = _stage1_batch()
+    losses = []
+    for it in range(8):
+        params, opt_state, terms = step(
+            params, opt_state, batch, float(it + 2000),
+            jax.random.PRNGKey(it), use_outside=True,
+        )
+        losses.append(float(terms["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+PS_CFG = PSNetConfig(
+    mlp_width=32, sg_mlp_width=16, normal_mlp_width=32, vis_mlp_width=32,
+    vis_mlp_depth=4, vis_mlp_skip_at=2,
+)
+
+
+def _stage2_batch(n=32, l=4, ltot=12):
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.normal(key, (n, 3)) * 0.3
+    uv = jax.random.uniform(jax.random.PRNGKey(2), (n, 2), minval=0, maxval=64)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -3.0]))
+    k = jnp.asarray(
+        [[80.0, 0, 32, 0], [0, 80.0, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+    )
+    # varied normals keep clip(brdf*int*cos*vis) off the saturation rails so
+    # light-direction gradients are nonzero
+    nrm = jax.random.normal(jax.random.PRNGKey(5), (n, 3))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    return {
+        "uv": uv,
+        "pose": pose,
+        "intrinsics": k,
+        "object_mask": jnp.ones((n,), bool),
+        "points": pts,
+        "normal": nrm,
+        "surface_mask": jnp.ones((n,), bool),
+        "rgb_gt": jnp.full((l, n, 3), 0.4),
+        "l_slt": jnp.asarray([0, 3, 5, 7]),
+        "visibility": jnp.ones((l, n)),
+        "light_vis_train": jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (2, 1)),
+        "vis_train_gt": jnp.ones((2, n)),
+    }
+
+
+def _stage2_setup(tcfg, cfg=PS_CFG):
+    ltot = 12
+    model = init_psnet(jax.random.PRNGKey(0), cfg)
+    dirs0 = jax.random.normal(jax.random.PRNGKey(3), (ltot, 3))
+    dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True)
+    params = init_stage2_params(model, dirs0, jnp.full((ltot, 1), 1.0))
+    init_opt, step = make_stage2_train_step(cfg, tcfg)
+    return params, init_opt(params), step
+
+
+def test_stage2_train_step_runs_and_decreases():
+    tcfg = Stage2TrainConfig(milestone_iters=(10000,), train_order=False)
+    params, opt_state, step = _stage2_setup(tcfg)
+    batch = _stage2_batch()
+    losses = []
+    for it in range(8):
+        params, opt_state, terms = step(
+            params, opt_state, batch, float(it), jax.random.PRNGKey(it)
+        )
+        losses.append(float(terms["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_stage2_warmup_freezes_albedo_and_lights():
+    # visibility off: a raw-init vis MLP outputs < 0, so clip() zeroes every
+    # rgb and kills light gradients (faithful to the reference — its warm-up
+    # trains the vis net first); here we only probe the update gating.
+    cfg = PSNetConfig(mlp_width=32, sg_mlp_width=16, normal_mlp_width=32,
+                      visibility=False)
+    tcfg = Stage2TrainConfig(milestone_iters=(), train_order=True)
+    params, opt_state, step = _stage2_setup(tcfg, cfg)
+    batch = dict(_stage2_batch())
+    del batch["visibility"], batch["light_vis_train"], batch["vis_train_gt"]
+    a0 = np.asarray(jax.tree_util.tree_leaves(params["model"]["albedo"])[0])
+    d0 = np.asarray(params["light_dirs"])
+    p1, s1, terms = step(params, opt_state, batch, 10.0, jax.random.PRNGKey(0))
+    # warm-up: albedo + lights untouched, normal/vis nets move
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(p1["model"]["albedo"])[0]), a0
+    )
+    np.testing.assert_array_equal(np.asarray(p1["light_dirs"]), d0)
+    n0 = np.asarray(jax.tree_util.tree_leaves(params["model"]["normal"])[0])
+    n1 = np.asarray(jax.tree_util.tree_leaves(p1["model"]["normal"])[0])
+    assert np.abs(n1 - n0).max() > 0
+    # past warm-up: albedo moves, and only gathered light rows move
+    p2, s2, terms = step(params, opt_state, batch, 6000.0, jax.random.PRNGKey(0))
+    a2 = np.asarray(jax.tree_util.tree_leaves(p2["model"]["albedo"])[0])
+    assert np.abs(a2 - a0).max() > 0
+    d2 = np.asarray(p2["light_dirs"])
+    moved = np.any(d2 != d0, axis=-1)
+    expected = np.zeros(12, bool)
+    expected[[0, 3, 5, 7]] = True
+    np.testing.assert_array_equal(moved, expected)
+
+
+def test_light_direction_error():
+    a = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    b = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+    err = float(light_direction_error_deg(a, b))
+    np.testing.assert_allclose(err, 45.0, atol=1e-4)
