@@ -1,0 +1,85 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psnerf_tpu.eval.metrics import mae, psnr, scale_img, ssim, white_bg
+from psnerf_tpu.eval.lpips_jax import alex_features, lpips_distance, _TAP_CHANNELS
+
+
+def test_psnr_golden():
+    a = np.zeros((8, 8, 3))
+    b = np.full((8, 8, 3), 0.1)
+    np.testing.assert_allclose(psnr(a, b), -10 * np.log10(0.01), rtol=1e-6)
+    assert psnr(a, a) == 100.0
+    mask = np.zeros((8, 8), bool)
+    mask[:4] = True
+    b2 = a.copy()
+    b2[4:] = 1.0  # error only outside mask
+    np.testing.assert_allclose(psnr(a, b2, mask), 100.0)
+
+
+def test_mae_golden():
+    v1 = np.asarray([[0, 0, 1.0], [1.0, 0, 0]])
+    v2 = np.asarray([[0, 0, 1.0], [0, 1.0, 0]])
+    m, per = mae(v1, v2)
+    # the reference divides by (norm + 1e-5), so even identical unit vectors
+    # read ~0.36 deg — faithful bias, not a bug (metrics.py:27)
+    np.testing.assert_allclose(per, [0.0, 90.0], atol=0.6)
+    np.testing.assert_allclose(m, 45.0, atol=0.5)
+    # un-normalized vectors get normalized first
+    m2, _ = mae(v1 * 3.7, v2 * 0.2)
+    np.testing.assert_allclose(m2, 45.0, atol=0.5)
+
+
+def test_ssim_properties():
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32, 3))
+    np.testing.assert_allclose(ssim(img, img), 1.0, atol=1e-10)
+    noisy1 = np.clip(img + rng.normal(0, 0.05, img.shape), 0, 1)
+    noisy2 = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    s1, s2 = ssim(img, noisy1), ssim(img, noisy2)
+    assert 0 < s2 < s1 < 1
+    # regression pin (drift guard for the skimage-compatible implementation)
+    img_a = np.outer(np.linspace(0, 1, 32), np.ones(32))[..., None].repeat(3, -1)
+    img_b = img_a**1.5
+    np.testing.assert_allclose(ssim(img_a, img_b), 0.892677, atol=2e-4)
+
+
+def test_scale_img_recovers_brightness():
+    rng = np.random.default_rng(1)
+    gt = rng.random((16, 16, 3)) * 0.5
+    img = gt / 1.7  # uniformly darker prediction
+    mask = np.ones((16, 16), bool)
+    out = scale_img(img, gt, mask)
+    np.testing.assert_allclose(out, gt, atol=1e-6)
+
+
+def test_white_bg():
+    img = np.zeros((4, 4, 3))
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = True
+    out = white_bg(img, mask)
+    assert out[0, 0].sum() == 0 and out[1, 1].sum() == 3.0
+
+
+def test_lpips_architecture_shapes():
+    """Random weights: verify the conv stack + heads wire up and the distance
+    is 0 for identical inputs, > 0 for different ones."""
+    rng = np.random.default_rng(0)
+    params = {}
+    in_ch = 3
+    kernels = [11, 5, 3, 3, 3]
+    for i, (out_ch, k) in enumerate(zip(_TAP_CHANNELS, kernels)):
+        params[f"conv{i}_w"] = jnp.asarray(
+            rng.normal(0, 0.05, (out_ch, in_ch, k, k)), jnp.float32)
+        params[f"conv{i}_b"] = jnp.zeros((out_ch,), jnp.float32)
+        params[f"lin{i}_w"] = jnp.asarray(
+            rng.random((1, out_ch, 1, 1)), jnp.float32)
+        in_ch = out_ch
+    img = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+    taps = alex_features(params, img.transpose(2, 0, 1)[None])
+    assert [t.shape[1] for t in taps] == _TAP_CHANNELS
+    d_same = float(lpips_distance(params, img, img))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    img2 = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+    assert float(lpips_distance(params, img, img2)) > 0
