@@ -50,16 +50,22 @@ def setup():
     return cfg, params, (uv, pose, K, pts, nrm, mask, ldirs, lints)
 
 
+def _sync(x):
+    """Force completion: block_until_ready is not reliable on the tunneled
+    axon backend — read a scalar back instead."""
+    return float(x.reshape(-1)[0])
+
+
 def bench_fused(cfg, params, args):
     from psnerf_tpu.eval import make_frame_renderer
 
     render = make_frame_renderer(cfg, tile=TILE, outputs=("rgb",))
     out = render(params, *args)  # compile
-    jax.block_until_ready(out)
+    _sync(out["rgb"])
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = render(params, *args)
-        jax.block_until_ready(out)
+        _sync(out["rgb"])
     dt = (time.perf_counter() - t0) / REPS
     return dt, out["rgb"]
 
@@ -100,7 +106,7 @@ def bench_reference_style(cfg, params, args, light_chunk=64, px_chunk=1024,
                 mask[s:s + px_chunk], ray_dirs[s:s + px_chunk],
                 ldirs[ls:le], lints[ls:le],
             )
-        jax.block_until_ready(out)
+        _sync(out)
     dt_sampled = time.perf_counter() - t0
     return dt_sampled * (n_px_chunks / n_timed)
 

@@ -12,8 +12,11 @@ import jax
 import jax.numpy as jnp
 
 # 9 fixed SG lobe sharpness values lambda_i = e^i, i in 2..10 (non-trainable;
-# stage2/model/sgbasis.py:12).
-SG_LOBES = jnp.asarray([math.exp(i) for i in range(2, 11)], dtype=jnp.float32)
+# stage2/model/sgbasis.py:12). Kept as numpy so importing never touches a
+# device backend.
+import numpy as _np
+
+SG_LOBES = _np.asarray([math.exp(i) for i in range(2, 11)], dtype=_np.float32)
 
 
 def _normalize(v, eps=1e-12):

@@ -82,18 +82,37 @@ def skip_mlp_init(
 
 def skip_mlp_apply(
     layers: list, x: jnp.ndarray, skip_at: Sequence[int] = (),
-    final_activation: str = "none",
+    final_activation: str = "none", compute_dtype=None,
 ) -> jnp.ndarray:
-    """final_activation: 'none' (Normal_Network) | 'sigmoid' (Network)."""
+    """final_activation: 'none' (Normal_Network) | 'sigmoid' (Network).
+
+    compute_dtype=jnp.bfloat16 runs the matmuls on the MXU's fast path
+    (weights/activations bf16, f32 accumulation); the final activation is
+    applied in float32.
+    """
     skips = [s for s in skip_at if s >= 0]
     n = len(layers)
-    y = x
+    if compute_dtype is None:
+        y = x
+        for li, lyr in enumerate(layers):
+            y = linear_apply(lyr, y)
+            if li != n - 1:
+                y = jax.nn.relu(y)
+            elif final_activation == "sigmoid":
+                y = jax.nn.sigmoid(y)
+            if li in skips:
+                y = jnp.concatenate([y, x], axis=-1)
+        return y
+
+    xc = x.astype(compute_dtype)
+    y = xc
     for li, lyr in enumerate(layers):
-        y = linear_apply(lyr, y)
+        w = lyr["w"].astype(compute_dtype)
+        y = jnp.dot(y, w, preferred_element_type=jnp.float32) + lyr["b"]
         if li != n - 1:
-            y = jax.nn.relu(y)
+            y = jax.nn.relu(y).astype(compute_dtype)
         elif final_activation == "sigmoid":
             y = jax.nn.sigmoid(y)
         if li in skips:
-            y = jnp.concatenate([y, x], axis=-1)
-    return y
+            y = jnp.concatenate([y, xc], axis=-1)
+    return y.astype(jnp.float32)

@@ -55,6 +55,10 @@ class PSNetConfig:
     vis_mlp_depth: int = 8
     vis_mlp_skip_at: int = 4
 
+    # 'float32' | 'bfloat16': matmul precision of the per-point / per-light
+    # MLPs (bf16 doubles MXU throughput; accumulation stays f32)
+    compute_dtype: str = "float32"
+
     @property
     def dim_emb(self) -> int:
         return nerf_embed_dim(3, self.n_freqs_xyz)

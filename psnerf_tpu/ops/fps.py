@@ -1,0 +1,35 @@
+"""Farthest-point sampling in JAX (replaces the reference's external
+torch_cluster.fps CUDA dependency, used to pick well-spread extra light
+directions for visibility supervision; stage1/shape_extract.py:98-129)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnums=(1,))
+def farthest_point_sampling(points: jnp.ndarray, n_samples: int,
+                            start: int = 0) -> jnp.ndarray:
+    """Greedy FPS: points [N, D] -> indices [n_samples].
+
+    Deterministic given `start` (the first selected index). lax.fori_loop
+    over the selection count; O(n_samples * N) distance updates, fully
+    vectorized per step.
+    """
+    n = points.shape[0]
+
+    def body(i, state):
+        min_d2, selected = state
+        prev = points[selected[i - 1]]
+        d2 = jnp.sum((points - prev) ** 2, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2)
+        return min_d2, selected.at[i].set(nxt)
+
+    selected = jnp.zeros((n_samples,), jnp.int32).at[0].set(start)
+    min_d2 = jnp.full((n,), jnp.inf)
+    _, selected = jax.lax.fori_loop(1, n_samples, body, (min_d2, selected))
+    return selected

@@ -33,19 +33,27 @@ def _normalize(v, eps=1e-12):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
+def _cdt(cfg):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 def _albedo(params, cfg, emb):
-    return skip_mlp_apply(params["albedo"], emb, (cfg.mlp_skip_at,), "sigmoid")
+    return skip_mlp_apply(params["albedo"], emb, (cfg.mlp_skip_at,), "sigmoid",
+                          compute_dtype=_cdt(cfg))
 
 
 def _rough_raw(params, cfg, emb):
     if cfg.render_model == "sgbasis":
-        return skip_mlp_apply(params["rough"], emb, (cfg.sg_mlp_skip_at,), "none")
-    return skip_mlp_apply(params["rough"], emb, (cfg.mlp_skip_at,), "sigmoid")
+        return skip_mlp_apply(params["rough"], emb, (cfg.sg_mlp_skip_at,),
+                              "none", compute_dtype=_cdt(cfg))
+    return skip_mlp_apply(params["rough"], emb, (cfg.mlp_skip_at,), "sigmoid",
+                          compute_dtype=_cdt(cfg))
 
 
 def _visibility(params, cfg, point_emb, light_emb):
     x = jnp.concatenate([point_emb, light_emb], axis=-1)
-    return skip_mlp_apply(params["visibility"], x, (cfg.vis_mlp_skip_at,), "none")
+    return skip_mlp_apply(params["visibility"], x, (cfg.vis_mlp_skip_at,),
+                          "none", compute_dtype=_cdt(cfg))
 
 
 def render_psnet(
@@ -96,7 +104,8 @@ def render_psnet(
     if cfg.normal_mlp:
         emb_n = nerf_embed(points, cfg.normal_n_freqs_xyz)
         normal_out = _normalize(
-            skip_mlp_apply(params["normal"], emb_n, (cfg.normal_mlp_skip_at,), "none")
+            skip_mlp_apply(params["normal"], emb_n, (cfg.normal_mlp_skip_at,),
+                           "none", compute_dtype=_cdt(cfg))
         )
         normal = normal_out
         normal_pred = jnp.where(mask1, normal_out, 1.0)
@@ -134,9 +143,10 @@ def render_psnet(
             rgb = jnp.clip(brdf * lint * cos, 0.0, 1.0)
         return rgb, spec, vis
 
-    light_ints = jnp.broadcast_to(
-        jnp.asarray(light_ints, points.dtype).reshape(-1), (light_dirs.shape[0],)
-    )
+    # intensity: scalar, [L], or [L, 3] (per-channel, used by envmap relight)
+    light_ints = jnp.asarray(light_ints, points.dtype)
+    if light_ints.ndim == 0:
+        light_ints = jnp.full((light_dirs.shape[0],), light_ints)
     rgb, spec, vis = jax.vmap(shade_one_light)(light_dirs, light_ints)
     # fills match the reference (ones outside the surface mask)
     rgb = jnp.where(mask1[None], rgb, 1.0)                    # [L, N, 3]
@@ -179,7 +189,9 @@ def render_psnet(
             p_jn = points + cfg.normal_jitter_std * jax.random.normal(k2, points.shape)
             emb_jn = nerf_embed(p_jn, cfg.normal_n_freqs_xyz)
             njit = _normalize(
-                skip_mlp_apply(params["normal"], emb_jn, (cfg.normal_mlp_skip_at,), "none")
+                skip_mlp_apply(params["normal"], emb_jn,
+                               (cfg.normal_mlp_skip_at,), "none",
+                               compute_dtype=_cdt(cfg))
             )
             out["normal_jitter"] = jnp.where(mask1, njit, 1.0)
 

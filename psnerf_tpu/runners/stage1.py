@@ -1,0 +1,324 @@
+"""Stage-1 runner: training loop, full-image eval, shape export, mesh export.
+
+Replaces the reference CLIs stage1/train.py, eval.py, shape_extract.py,
+extract_mesh.py with one object. All device work goes through jitted
+fixed-shape functions; full images run as host loops over fixed pixel tiles
+(compiled once).
+
+Pixel order: images are processed ROW-MAJOR (pixel n -> (x = n % w,
+y = n // w)), which is the layout stage-2 consumes; the reference's x-major
+`arange_pixels` + `to_hw` transpose dance (training.py:18) is an internal
+traversal choice with no effect on per-pixel values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psnerf_tpu.config import Stage1Config, milestones_epochs_to_iters
+from psnerf_tpu.data.scene import load_scene_params
+from psnerf_tpu.data.stage1 import load_stage1_data, sample_stage1_batch
+from psnerf_tpu.fields.occupancy import init_occupancy_field
+from psnerf_tpu.mesh.extractor import extract_mesh, make_field_value_fn
+from psnerf_tpu.mesh.meshio import save_obj, save_ply
+from psnerf_tpu.ops.fps import farthest_point_sampling
+from psnerf_tpu.render.phong import render_phong
+from psnerf_tpu.render.unisurf import render_shape_extract, render_unisurf
+from psnerf_tpu.train.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from psnerf_tpu.train.stage1 import make_stage1_train_step
+from psnerf_tpu.eval.metrics import mae
+
+
+def _row_major_pixels(h, w):
+    ys, xs = np.mgrid[0:h, 0:w]
+    return np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+
+
+class Stage1Runner:
+    def __init__(self, cfg: Stage1Config, workdir: str, seed: int = 0,
+                 resume: bool = True):
+        self.cfg = cfg
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.scene = load_scene_params(cfg.data_dir)
+        self.data = load_stage1_data(
+            self.scene, "train", cfg.inten_normalize, cfg.train_view,
+            cfg.train_light, cfg.all_view, cfg.render.white_background,
+            normal_loss=True, mask_valid=True, mask_black=cfg.mask_black,
+        )
+        self.n_views = len(self.data["views"])
+        # reference milestones are epochs; one epoch = one pass over views
+        tcfg = cfg.train
+        import dataclasses as _dc
+        self.tcfg = _dc.replace(
+            tcfg,
+            milestone_iters=milestones_epochs_to_iters(
+                tcfg.milestone_iters, self.n_views
+            ),
+        )
+        self.key = jax.random.PRNGKey(seed)
+        self.params = init_occupancy_field(jax.random.PRNGKey(seed), cfg.field)
+        init_opt, self.step_fn = make_stage1_train_step(
+            cfg.field, cfg.render, self.tcfg
+        )
+        self.opt_state = init_opt(self.params)
+        self.it = 0
+
+        self.ckpt_dir = os.path.join(workdir, "checkpoints")
+        if resume:
+            ck = latest_checkpoint(self.ckpt_dir)
+            if ck:
+                tree = {"params": self.params, "opt": self.opt_state}
+                tree, scalars = load_checkpoint(ck, tree)
+                self.params, self.opt_state = tree["params"], tree["opt"]
+                self.it = int(scalars.get("it", 0))
+                print(f"resumed from {ck} at it={self.it}")
+
+        self._sample = jax.jit(
+            lambda view, key: sample_stage1_batch(
+                self.data, view, key, self.tcfg.n_training_points,
+                normal_angle=65.0,
+            )
+        )
+
+    # ------------------------------------------------------------- training
+    def train(self, max_iters: int, log_every: int | None = None,
+              ckpt_every: int | None = None, on_log=None):
+        cfg = self.cfg
+        log_every = log_every or cfg.print_every
+        ckpt_every = ckpt_every or cfg.checkpoint_every
+        t0 = time.time()
+        while self.it < max_iters:
+            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+            view = jax.random.randint(k1, (), 0, self.n_views)
+            batch = self._sample(view, k2)
+            use_outside = self.it > 5000
+            self.params, self.opt_state, terms = self.step_fn(
+                self.params, self.opt_state, batch, float(self.it), k3,
+                use_outside=use_outside,
+            )
+            self.it += 1
+            if self.it % log_every == 0:
+                terms = {k: float(v) for k, v in terms.items()}
+                dt = time.time() - t0
+                msg = (f"[stage1 it {self.it}] loss={terms['loss']:.4f} "
+                       f"rgb={terms['fullrgb_loss']:.4f} "
+                       f"grad={terms['grad_loss']:.4f} "
+                       f"normal={terms.get('normal_loss', 0.0):.4f} "
+                       f"lr={terms['lr']:.2e} {log_every / dt:.1f} it/s")
+                print(msg)
+                if on_log:
+                    on_log(self.it, terms)
+                t0 = time.time()
+            if self.it % ckpt_every == 0 or self.it == max_iters:
+                self.save(self.it)
+        return self
+
+    def save(self, it: int):
+        tree = {"params": self.params, "opt": self.opt_state}
+        save_checkpoint(os.path.join(self.ckpt_dir, "model.npz"), tree,
+                        {"it": it})
+        if it % self.cfg.backup_every == 0:
+            save_checkpoint(os.path.join(self.ckpt_dir, f"model_{it}.npz"),
+                            tree, {"it": it})
+
+    # ---------------------------------------------------------------- eval
+    def render_view(self, view: int, tile: int = 4096, data=None):
+        """Full-image eval render -> dict of [H,W,...] arrays."""
+        data = data or self.data
+        h, w = data["imgs"].shape[1:3]
+        pix = _row_major_pixels(h, w)
+        n = pix.shape[0]
+        pad = (-n) % tile
+        pix_padded = np.concatenate([pix, np.zeros((pad, 2), np.float32)])
+
+        cfg = self.cfg
+
+        @jax.jit
+        def tile_fn(params, pix_tile, pose):
+            out = render_unisurf(
+                params, cfg.field, cfg.render, pix_tile, data["K"], pose,
+                it=1e5, key=None, use_outside=True, train=False,
+            )
+            phong = render_phong(params, cfg.field, cfg.render, pix_tile,
+                                 data["K"], pose)
+            return {
+                "rgb": out["rgb"], "normal": out["normal_pred"],
+                "mask": out["mask_pred"], "acc": out["acc_map"],
+                "phong": phong["rgb"],
+            }
+
+        chunks = []
+        pose = data["poses"][view]
+        for s in range(0, n + pad, tile):
+            chunks.append(jax.device_get(
+                tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]), pose)
+            ))
+        out = {k: np.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]}
+        return {
+            "rgb": out["rgb"].reshape(h, w, 3),
+            "normal": out["normal"].reshape(h, w, 3),
+            "mask": out["mask"].reshape(h, w),
+            "acc": out["acc"].reshape(h, w),
+            "phong": out["phong"].reshape(h, w, 3),
+        }
+
+    def eval_views(self, out_dir: str, split: str = "test", tile: int = 4096):
+        """Render all views of a split; save rgb/normal/mask/acc/phong
+        (reference stage1/eval.py:82-119)."""
+        data = load_stage1_data(
+            self.scene, split, self.cfg.inten_normalize, self.cfg.train_view,
+            self.cfg.train_light, False, self.cfg.render.white_background,
+            normal_loss=True, mask_valid=False,
+        )
+        to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+        metrics = []
+        for sub in ["rgb", "normal", "mask", "acc", "phong"]:
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        for v, vi in enumerate(data["views"]):
+            r = self.render_view(v, tile, data)
+            name = f"view_{vi + 1:02d}"
+            imageio.imwrite(os.path.join(out_dir, "rgb", name + ".png"),
+                            to8(r["rgb"]))
+            imageio.imwrite(os.path.join(out_dir, "normal", name + ".png"),
+                            to8(r["normal"] / 2 + 0.5))
+            imageio.imwrite(os.path.join(out_dir, "mask", name + ".png"),
+                            to8(r["mask"].astype(np.float64)))
+            imageio.imwrite(os.path.join(out_dir, "acc", name + ".png"),
+                            to8(r["acc"]))
+            imageio.imwrite(os.path.join(out_dir, "phong", name + ".png"),
+                            to8(r["phong"]))
+            np.save(os.path.join(out_dir, "normal", name + ".npy"), r["normal"])
+            gt = np.asarray(data["imgs"][v])
+            mse = float(np.mean((r["rgb"] - gt) ** 2))
+            psnr_v = -10 * np.log10(mse + 1e-12)
+            metrics.append({"view": int(vi), "psnr": psnr_v})
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        return metrics
+
+    # --------------------------------------------------------- shape export
+    def shape_extract(self, out_dir: str, visibility: bool = True,
+                      vis_plus: bool = False, vis_plus_num: int = 256,
+                      semisphere: bool = True, tile: int = 4096,
+                      n_steps: int = 512, seed: int = 0):
+        """Export per-view surface points/normals/mask (+ visibility,
+        vis_plus) for stage-2 (reference stage1/shape_extract.py:92-171).
+        Arrays are saved [H,W,...] like the reference (row-major pixels)."""
+        data = load_stage1_data(
+            self.scene, "all", self.cfg.inten_normalize, self.cfg.train_view,
+            self.cfg.train_light, False, self.cfg.render.white_background,
+            normal_loss=False, mask_valid=False,
+        )
+        cfg = self.cfg
+        h, w = data["imgs"].shape[1:3]
+        pix = _row_major_pixels(h, w)
+        n = pix.shape[0]
+        pad = (-n) % tile
+        pix_padded = np.concatenate([pix, np.zeros((pad, 2), np.float32)])
+
+        for sub in ["points", "normal", "mask"] + (
+            ["visibility"] if visibility else []
+        ) + (["vis_plus"] if vis_plus else []):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+        light_pred = None
+        if visibility:
+            sdps_dir = self.scene.sdps_dir(cfg.inten_normalize, cfg.train_light)
+            lp = np.load(os.path.join(sdps_dir, "light_direction_pred.npy"),
+                         allow_pickle=True)
+            lp = lp[data["views"]]
+            light_pred = [
+                np.einsum("ij,kj->ki", self.scene.pose_gl[vi, :3, :3],
+                          lp[i]).astype(np.float32)
+                for i, vi in enumerate(data["views"])
+            ]
+
+        @partial(jax.jit, static_argnames=("with_vis",))
+        def tile_fn(params, pix_tile, pose, light_dir, with_vis):
+            return render_shape_extract(
+                params, cfg.field, cfg.render, pix_tile, data["K"], pose,
+                light_dir=light_dir if with_vis else None, n_steps=n_steps,
+            )
+
+        rng = np.random.default_rng(seed)
+        vis_plus_json = {}
+        for v, vi in enumerate(data["views"]):
+            pose = data["poses"][v]
+            ldir = None
+            n_ori = 0
+            if visibility:
+                ldir = light_pred[v]
+                n_ori = ldir.shape[0]
+                if vis_plus:
+                    cand = rng.normal(size=(10000, 3))
+                    cand /= np.linalg.norm(cand, axis=-1, keepdims=True)
+                    if semisphere:
+                        view_dir = np.asarray(pose)[:3, 2]
+                        cand = cand[(cand * view_dir).sum(-1) < 0]
+                    idx = farthest_point_sampling(
+                        jnp.asarray(cand), vis_plus_num,
+                        start=int(rng.integers(len(cand))),
+                    )
+                    extra = np.asarray(cand)[np.asarray(idx)]
+                    ldir = np.concatenate([ldir, extra], 0)
+                    vis_plus_json[f"view_{vi + 1:02d}"] = extra.astype(
+                        np.float32).tolist()
+                ldir = jnp.asarray(ldir)
+
+            chunks = []
+            for s in range(0, n + pad, tile):
+                out = tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
+                              pose, ldir, visibility)
+                chunks.append(jax.device_get(out))
+            cat = lambda k2, axis=0: np.concatenate(
+                [c[k2] for c in chunks], axis=axis)
+            points = cat("points")[:n].reshape(h, w, 3)
+            normal = cat("normal")[:n].reshape(h, w, 3)
+            mask = cat("mask")[:n].reshape(h, w)
+            name = f"view_{vi + 1:02d}"
+            np.save(os.path.join(out_dir, "points", name + ".npy"),
+                    points.astype(np.float32))
+            np.save(os.path.join(out_dir, "normal", name + ".npy"),
+                    normal.astype(np.float32))
+            np.save(os.path.join(out_dir, "mask", name + ".npy"),
+                    mask.astype(bool))
+            if visibility:
+                vis = cat("visibility", axis=1)[:, :n].reshape(-1, h, w)
+                np.save(os.path.join(out_dir, "visibility", name + ".npy"),
+                        vis[:n_ori].astype(np.float32))
+                if vis_plus:
+                    np.save(os.path.join(out_dir, "vis_plus", name + ".npy"),
+                            vis[n_ori:].astype(np.float32))
+        if vis_plus:
+            with open(os.path.join(out_dir, "vis_plus", "light_dir.json"),
+                      "w") as f:
+                json.dump(vis_plus_json, f, indent=4)
+
+    # ------------------------------------------------------------ mesh export
+    def extract_mesh_to(self, path: str, resolution0: int | None = None,
+                        upsampling: int | None = None):
+        value_fn = make_field_value_fn(self.params, self.cfg.field)
+        verts, tris = extract_mesh(
+            value_fn,
+            resolution0=resolution0 or self.cfg.extraction_resolution,
+            upsampling_steps=(upsampling if upsampling is not None
+                              else self.cfg.extraction_upsampling),
+        )
+        if path.endswith(".obj"):
+            save_obj(path, verts, tris)
+        else:
+            save_ply(path, verts, tris)
+        return verts, tris

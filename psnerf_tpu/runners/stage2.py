@@ -1,0 +1,387 @@
+"""Stage-2 runner: joint SVBRDF/normal/visibility/light training + eval modes.
+
+Replaces stage2/trainer.py (TrainRunner) and stage2/eval.py (standard,
+--render_envmap, material editing) with one object. Frame renders go through
+the fused lax.map frame renderer (one launch per view instead of the
+reference's 64-light x 1024-pixel nested loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psnerf_tpu.config import Stage2Config
+from psnerf_tpu.core.spherical import gen_light_xyz
+from psnerf_tpu.data.scene import load_scene_params
+from psnerf_tpu.data.stage2 import load_stage2_data, sample_stage2_batch
+from psnerf_tpu.eval.frame import render_frame_stage2
+from psnerf_tpu.fields.psnet import init_psnet
+from psnerf_tpu.train.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from psnerf_tpu.train.stage2 import (
+    init_stage2_params,
+    light_direction_error_deg,
+    make_stage2_train_step,
+)
+
+_to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
+class Stage2Runner:
+    def __init__(self, cfg: Stage2Config, workdir: str, seed: int = 0,
+                 resume: bool = True):
+        self.cfg = cfg
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.scene = load_scene_params(cfg.data_dir)
+        self.data = load_stage2_data(
+            self.scene, cfg.stage1_shape_path, "train", cfg.inten_normalize,
+            cfg.train_view, cfg.train_light, cfg.all_view,
+            vis_loss=cfg.vis_loss, vis_plus=cfg.vis_plus,
+        )
+        self.n_views = len(self.data["views"])
+        n_lights = self.data["imgs"].shape[1]
+        self.light_bs = min(cfg.light_bs, n_lights)
+
+        # ---- light table init (trainer.py:132-163) ----
+        if cfg.train.light_train and cfg.light_init == "pred":
+            sdps_dir = self.scene.sdps_dir(cfg.inten_normalize, cfg.train_light)
+            lp = np.load(os.path.join(sdps_dir, "light_direction_pred.npy"),
+                         allow_pickle=True)[self.data["views"]]
+            slt = self.data["light_slt"]
+            dirs0 = np.concatenate([
+                np.einsum("ij,kj->ki", self.data["pose_gl"][i, :3, :3],
+                          np.asarray(lp[i])[slt[i]])
+                for i in range(self.n_views)
+            ]).astype(np.float32)
+        else:  # 'gt' (or light_train off): dataset dirs
+            dirs0 = np.concatenate(
+                [np.asarray(self.data["light_dirs"][i])
+                 for i in range(self.n_views)]
+            ).astype(np.float32)
+        if cfg.train.light_inten_train and cfg.light_inten_init == "pred":
+            sdps_dir = self.scene.sdps_dir(cfg.inten_normalize, cfg.train_light)
+            ip = np.load(os.path.join(sdps_dir, "light_intensity_pred.npy"),
+                         allow_pickle=True)[self.data["views"]]
+            slt = self.data["light_slt"]
+            ints0 = np.concatenate([
+                np.asarray(ip[i])[slt[i]] for i in range(self.n_views)
+            ]).reshape(-1, 1).astype(np.float32)
+        else:  # 'same'
+            ints0 = np.full((len(dirs0), 1), cfg.net.light_int, np.float32)
+
+        # initial (frozen) dirs drive the visibility-net inputs (trainer.py:377)
+        self.light_init_dirs = jnp.asarray(
+            dirs0.reshape(self.n_views, -1, 3)
+            / np.linalg.norm(dirs0.reshape(self.n_views, -1, 3), axis=-1,
+                             keepdims=True)
+        )
+
+        model = init_psnet(jax.random.PRNGKey(seed), cfg.net)
+        self.params = init_stage2_params(model, dirs0, ints0)
+
+        # milestones: epochs * dataset_len * light_bs (trainer.py:118-124)
+        tcfg = dataclasses.replace(
+            cfg.train,
+            milestone_iters=tuple(
+                int(m) * self.n_views * self.light_bs
+                for m in cfg.sched_milestones_epochs
+            ),
+        )
+        self.tcfg = tcfg
+        init_opt, self.step_fn = make_stage2_train_step(cfg.net, tcfg)
+        self.opt_state = init_opt(self.params)
+        self.it = 0
+        self.key = jax.random.PRNGKey(seed + 1)
+
+        self.ckpt_dir = os.path.join(workdir, "checkpoints")
+        if resume:
+            ck = latest_checkpoint(self.ckpt_dir)
+            if ck:
+                tree = {"params": self.params, "opt": self.opt_state}
+                tree, scalars = load_checkpoint(ck, tree)
+                self.params, self.opt_state = tree["params"], tree["opt"]
+                self.it = int(scalars.get("it", 0))
+                print(f"resumed from {ck} at it={self.it}")
+
+        num_pixels = cfg.num_pixels
+        total = self.data["imgs"].shape[2]
+        if cfg.train_all_pixels:
+            num_pixels = total
+        self.num_pixels = min(num_pixels, total)
+        self._sample = jax.jit(
+            lambda view, key: sample_stage2_batch(
+                self.data, view, key, self.num_pixels, self.light_bs,
+                sample_in_mask=cfg.sample_in_mask,
+                vis_train_num=cfg.vis_train_num,
+                light_init_dirs=(self.light_init_dirs
+                                 if (cfg.vis_plus and "vis_plus" in self.data)
+                                 else None),
+            ),
+            static_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------- training
+    def train(self, max_iters: int, log_every: int = 100,
+              ckpt_every: int | None = None, on_log=None):
+        ckpt_every = ckpt_every or self.cfg.ckpt_freq
+        t0 = time.time()
+        while self.it < max_iters:
+            self.key, k1, k2 = jax.random.split(self.key, 3)
+            view = int(jax.random.randint(k1, (), 0, self.n_views))
+            batch = self._sample(view, k2)
+            if not (self.cfg.vis_plus and "vis_plus" in self.data):
+                # no vis_plus: supervise vis_train on the stage-1 visibility
+                # of this step's lights, with frozen init dirs as net input
+                batch["light_vis_train"] = self.light_init_dirs[view][
+                    batch["lidx"]]
+            self.params, self.opt_state, terms = self.step_fn(
+                self.params, self.opt_state, batch, float(self.it), k2
+            )
+            self.it += 1
+            if self.it % log_every == 0:
+                terms = {k: float(v) for k, v in terms.items()}
+                mse2psnr = lambda x: -10.0 * np.log(x + 1e-8) / np.log(10.0)
+                lderr = float(light_direction_error_deg(
+                    self.params["light_dirs"],
+                    jnp.concatenate([self.data["light_dirs"][i]
+                                     for i in range(self.n_views)]),
+                ))
+                dt = time.time() - t0
+                print(f"[stage2 it {self.it}] loss={terms['loss']:.5f} "
+                      f"rgb={terms['sg_rgb_loss']:.5f} "
+                      f"psnr={mse2psnr(terms['sg_rgb_loss']):.2f} "
+                      f"vis={terms.get('vis_loss', 0.0):.4f} "
+                      f"normal={terms.get('normal_loss', 0.0):.4f} "
+                      f"ld_err={lderr:.2f}deg "
+                      f"{log_every / dt:.1f} it/s")
+                if on_log:
+                    on_log(self.it, terms)
+                t0 = time.time()
+            if self.it % ckpt_every == 0 or self.it == max_iters:
+                self.save(self.it)
+        return self
+
+    def save(self, it: int):
+        tree = {"params": self.params, "opt": self.opt_state}
+        save_checkpoint(os.path.join(self.ckpt_dir, "model.npz"), tree,
+                        {"it": it})
+
+    # ------------------------------------------------------------ rendering
+    def _eval_data(self, split: str):
+        if split == "train":
+            return self.data
+        return load_stage2_data(
+            self.scene, self.cfg.stage1_shape_path, split,
+            self.cfg.inten_normalize, self.cfg.train_view,
+            self.cfg.train_light, self.cfg.all_view,
+            vis_loss=False, vis_plus=False,
+        )
+
+    def render_view(self, data, view: int, light_dirs, light_ints,
+                    tile: int = 4096, outputs=("rgb", "albedo", "rough",
+                                               "visibility", "normal_pred")):
+        """All lights x all pixels of one view, single fused launch."""
+        h, w = data["img_res"]
+        n = h * w
+        pad = (-n) % tile
+        ys, xs = np.mgrid[0:h, 0:w]
+        uv = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+
+        def padded(x, fill=0.0):
+            x = np.asarray(x)
+            if pad == 0:
+                return jnp.asarray(x)
+            shape = (pad,) + x.shape[1:]
+            return jnp.asarray(
+                np.concatenate([x, np.full(shape, fill, x.dtype)]))
+
+        cfg = self.cfg.net
+        avail = {"rgb", "albedo", "rough", "sg_weight", "visibility"}
+        if cfg.normal_mlp:
+            avail.add("normal_pred")
+        if not cfg.visibility:
+            avail.discard("visibility")
+        outs = tuple(o for o in outputs if o in avail)
+        out = jax.jit(
+            lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
+            render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk, ld, li,
+                                tile=tile, outputs=outs)
+        )(
+            self.params["model"], padded(uv), data["poses"][view], data["K"],
+            padded(data["points"][view]), padded(data["normals"][view]),
+            padded(data["surface_mask"][view], False),
+            jnp.asarray(light_dirs), jnp.asarray(light_ints),
+        )
+        out = jax.device_get(out)
+        res = {}
+        for k, v in out.items():
+            if v.ndim == 3:  # [L, N(+pad), C]
+                res[k] = v[:, :n].reshape(v.shape[0], h, w, -1)
+            else:
+                res[k] = v[:n].reshape(h, w, -1)
+        res["mask"] = np.asarray(data["surface_mask"][view]).reshape(h, w)
+        res["normal_values"] = np.asarray(
+            data["normals"][view]).reshape(h, w, 3)
+        return res
+
+    def trained_lights_for_view(self, data, view: int):
+        """Trained light table rows for a view (falls back to dataset dirs
+        when the split's views were not trained)."""
+        cfg = self.cfg
+        vi = data["views"][view]
+        if cfg.train.light_train and vi in set(self.data["views"].tolist()):
+            local = int(np.where(self.data["views"] == vi)[0][0])
+            off = self.data["light_row_offset"][local]
+            ln = self.data["imgs"].shape[1]
+            dirs = np.asarray(self.params["light_dirs"][off:off + ln])
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            ints = np.asarray(self.params["light_ints"][off:off + ln, 0])
+            return dirs, ints
+        dirs = np.asarray(data["light_dirs"][view])
+        ints = np.full((dirs.shape[0],), cfg.net.light_int, np.float32)
+        return dirs, ints
+
+    # ----------------------------------------------------------- eval modes
+    def evaluate(self, out_dir: str, split: str = "test", tile: int = 4096,
+                 save_npy: bool = True):
+        """Standard eval: per test view, every light (stage2/eval.py:314-417
+        output contract: rgb/img/view_XX/LLL.png, mask/img, normal/npy ...)."""
+        data = self._eval_data(split)
+        for sub in ["rgb", "normal", "albedo", "rough", "mask", "visibility"]:
+            os.makedirs(os.path.join(out_dir, sub, "img"), exist_ok=True)
+            os.makedirs(os.path.join(out_dir, sub, "npy"), exist_ok=True)
+        for v, vi in enumerate(data["views"]):
+            dirs, ints = self.trained_lights_for_view(data, v)
+            r = self.render_view(data, v, dirs, ints, tile)
+            name = f"view_{vi + 1:02d}"
+            rgb_dir = os.path.join(out_dir, "rgb", "img", name)
+            os.makedirs(rgb_dir, exist_ok=True)
+            for li in range(r["rgb"].shape[0]):
+                imageio.imwrite(os.path.join(rgb_dir, f"{li + 1:03d}.png"),
+                                _to8(r["rgb"][li]))
+            if "visibility" in r:
+                vdir = os.path.join(out_dir, "visibility", "img", name)
+                os.makedirs(vdir, exist_ok=True)
+                for li in range(r["visibility"].shape[0]):
+                    imageio.imwrite(
+                        os.path.join(vdir, f"{li + 1:03d}.png"),
+                        _to8(np.repeat(r["visibility"][li], 3, -1)))
+            if "rough" in r:
+                rdir = os.path.join(out_dir, "rough", "img", name)
+                os.makedirs(rdir, exist_ok=True)
+                for li in range(r["rough"].shape[0]):
+                    imageio.imwrite(os.path.join(rdir, f"{li + 1:03d}.png"),
+                                    _to8(r["rough"][li]))
+            mask = r["mask"]
+            imageio.imwrite(os.path.join(out_dir, "mask", "img", name + ".png"),
+                            _to8(mask.astype(np.float64)))
+            normal = (r.get("normal_pred", r["normal_values"])
+                      .reshape(*mask.shape, 3) * mask[..., None])
+            np.save(os.path.join(out_dir, "normal", "npy", name + ".npy"),
+                    normal.astype(np.float32))
+            imageio.imwrite(os.path.join(out_dir, "normal", "img", name + ".png"),
+                            _to8(normal / 2 + 0.5))
+            imageio.imwrite(os.path.join(out_dir, "albedo", "img", name + ".png"),
+                            _to8(r["albedo"].reshape(*mask.shape, 3)))
+            if save_npy:
+                np.save(os.path.join(out_dir, "rgb", "npy", name + ".npy"),
+                        r["rgb"].astype(np.float32))
+                np.save(os.path.join(out_dir, "mask", "npy", name + ".npy"),
+                        mask.astype(bool))
+
+    def render_envmap(self, out_dir: str, envmap: np.ndarray,
+                      split: str = "test", light_h: int = 16,
+                      gamma: float = 1.0, envmap_scale: float = 1.0,
+                      tile: int = 4096):
+        """Relight under a lat-long envmap: 2*light_h^2 directional lights,
+        per-light intensity = texel rgb, SUM over lights, tonemap
+        (stage2/eval.py:173-231). envmap: [light_h, 2*light_h, 3]."""
+        data = self._eval_data(split)
+        lxyz, _ = gen_light_xyz(light_h, 2 * light_h, envmap_radius=1.0)
+        dirs = lxyz.reshape(-1, 3)
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        texels = envmap.reshape(-1, 3).astype(np.float32) * envmap_scale
+        os.makedirs(os.path.join(out_dir, "rgb", "img"), exist_ok=True)
+        cfg = self.cfg.net
+        for v, vi in enumerate(data["views"]):
+            # per-light per-CHANNEL intensity = envmap texel (eval.py:202);
+            # sum over the light axis, clip, tonemap (eval.py:218-220)
+            r = self.render_view(data, v, dirs, texels, tile, outputs=("rgb",))
+            acc = np.clip(r["rgb"].sum(0), 0, 1)
+            img = np.power(acc, 1.0 / gamma)
+            mask = r["mask"][..., None]
+            img = img * mask + (1 - mask)
+            imageio.imwrite(
+                os.path.join(out_dir, "rgb", "img", f"view_{vi + 1:02d}.png"),
+                _to8(img))
+        return out_dir
+
+    def edit_material(self, out_dir: str, split: str = "test",
+                      albedo_new=None, basis_new: int | None = None,
+                      tile: int = 4096):
+        """Material editing (stage2/eval.py:233-312): albedo override and/or
+        single-SG-basis swap, rendered under the trained lights."""
+        from psnerf_tpu.render.shading import render_psnet
+
+        data = self._eval_data(split)
+        cfg = self.cfg.net
+        os.makedirs(os.path.join(out_dir, "rgb", "img"), exist_ok=True)
+        for v, vi in enumerate(data["views"]):
+            dirs, ints = self.trained_lights_for_view(data, v)
+            h, w = data["img_res"]
+
+            out = jax.jit(lambda p, pts, nrm, msk, rays, ld, li: render_psnet(
+                p, cfg, pts, nrm, msk, rays, ld, li,
+                albedo_new=albedo_new, basis_new=basis_new))(
+                self.params["model"],
+                data["points"][v], data["normals"][v],
+                data["surface_mask"][v],
+                self._rays(data, v), jnp.asarray(dirs), jnp.asarray(ints),
+            )
+            rgb = np.asarray(out["rgb"]).reshape(-1, h, w, 3)
+            vdir = os.path.join(out_dir, "rgb", "img", f"view_{vi + 1:02d}")
+            os.makedirs(vdir, exist_ok=True)
+            for li in range(rgb.shape[0]):
+                imageio.imwrite(os.path.join(vdir, f"{li + 1:03d}.png"),
+                                _to8(rgb[li]))
+        return out_dir
+
+    def _rays(self, data, view):
+        from psnerf_tpu.core.rays import get_camera_params
+
+        h, w = data["img_res"]
+        ys, xs = np.mgrid[0:h, 0:w]
+        uv = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32)
+        rays, _ = get_camera_params(uv, data["poses"][view], data["K"])
+        return rays
+
+
+def load_envmap(path: str, light_h: int = 16) -> np.ndarray:
+    """Load + bilinear-resize an exr/hdr/png envmap to [light_h, 2*light_h, 3]
+    (stage2/utils/eval_utils.py:11-40)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    else:
+        img = np.repeat(img[..., None], 3, -1)
+    img = img.astype(np.float32)
+    if path.endswith(".png"):
+        img = img / 255.0
+    return cv2.resize(img, (2 * light_h, light_h),
+                      interpolation=cv2.INTER_AREA)
