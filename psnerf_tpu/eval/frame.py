@@ -33,17 +33,39 @@ def render_frame_stage2(
     light_ints: jnp.ndarray,    # [L]
     tile: int = 4096,
     outputs: tuple = ("rgb",),
+    use_fused_vis: bool = False,
 ) -> dict:
     """Render every pixel under every light. N must be divisible by `tile`
-    (callers pad the frame). Returns {name: [L, N, ...] or [N, ...]}."""
+    (callers pad the frame). Returns {name: [L, N, ...] or [N, ...]}.
+
+    use_fused_vis: evaluate the visibility MLP for the whole frame with the
+    Pallas fused kernel first (VMEM-resident trunk, ~2.7x over XLA), then
+    stream its [L, N] result through the shading tiles.
+    """
     n = uv.shape[0]
     assert n % tile == 0, f"pixel count {n} not divisible by tile {tile}"
     ray_dirs, _ = get_camera_params(uv, pose, intrinsics)
 
+    vis_pre = None
+    if use_fused_vis and cfg.visibility:
+        from psnerf_tpu.core.encoding import nerf_embed
+        from psnerf_tpu.ops.fused_vis import fused_visibility
+
+        point_emb = nerf_embed(points, cfg.n_freqs_xyz)
+        light_emb = nerf_embed(light_dirs, cfg.n_freqs_xyz)
+        vis_pre = fused_visibility(
+            params["visibility"], point_emb, light_emb
+        )[..., None]  # [L, N, 1]
+
     def render_tile(args):
-        pts, nrm, msk, rays = args
+        if vis_pre is not None:
+            pts, nrm, msk, rays, vp = args  # vp: [L, tile, 1]
+        else:
+            pts, nrm, msk, rays = args
+            vp = None
         out = render_psnet(
-            params, cfg, pts, nrm, msk, rays, light_dirs, light_ints, key=None
+            params, cfg, pts, nrm, msk, rays, light_dirs, light_ints,
+            key=None, vis_precomputed=vp,
         )
         return {k: out[k] for k in outputs}
 
@@ -53,6 +75,12 @@ def render_frame_stage2(
         surface_mask.reshape(-1, tile),
         ray_dirs.reshape(-1, tile, 3),
     )
+    if vis_pre is not None:
+        # [L, N, 1] -> [T, L, tile, 1] so lax.map slices the tile axis
+        vis_tiled = jnp.moveaxis(
+            vis_pre.reshape(vis_pre.shape[0], -1, tile, 1), 1, 0
+        )
+        tiles = tiles + (vis_tiled,)
     per_tile = jax.lax.map(render_tile, tiles)  # leading tile axis
 
     def merge(v):
@@ -67,9 +95,11 @@ def render_frame_stage2(
 
 
 def make_frame_renderer(cfg: PSNetConfig, tile: int = 4096,
-                        outputs: tuple = ("rgb",)):
+                        outputs: tuple = ("rgb",),
+                        use_fused_vis: bool = False):
     """Jit-once closure over static config."""
-    fn = partial(render_frame_stage2, tile=tile, outputs=outputs)
+    fn = partial(render_frame_stage2, tile=tile, outputs=outputs,
+                 use_fused_vis=use_fused_vis)
     return jax.jit(
         lambda params, uv, pose, K, pts, nrm, msk, ld, li: fn(
             params, cfg, uv, pose, K, pts, nrm, msk, ld, li

@@ -69,6 +69,7 @@ def render_psnet(
     light_vis_train: Optional[jnp.ndarray] = None,  # [Lv, 3] extra vis lights
     albedo_new: Optional[jnp.ndarray] = None,       # [3] albedo edit
     basis_new: Optional[int] = None,                # SG basis index edit
+    vis_precomputed: Optional[jnp.ndarray] = None,  # [L, N, 1] (fused kernel)
 ) -> dict:
     """Render all N pixels under all L lights. Returns a dict of dense arrays:
       rgb [L, N, 3], albedo [N, 3], sg_weight [N, n_weights],
@@ -116,7 +117,7 @@ def render_psnet(
     pts2c = -ray_dirs  # camera z axis points toward the surface (renderer.py:162)
 
     # --- per-(light, point) shading, vmapped over the light axis ---
-    def shade_one_light(ldir, lint):
+    def shade_one_light(ldir, lint, vis_pre):
         l = jnp.broadcast_to(ldir, (n, 3))
         if cfg.render_model == "sgbasis":
             brdf, spec = sg_basis(
@@ -131,9 +132,12 @@ def render_psnet(
             spec = weights
         cos = jnp.sum(l * normal, axis=-1, keepdims=True)  # [N, 1]
         if cfg.visibility:
-            l_in = jax.lax.stop_gradient(l) if cfg.light_vis_detach else l
-            light_emb = nerf_embed(l_in, cfg.n_freqs_xyz)
-            vis = _visibility(params, cfg, point_emb, light_emb)  # [N, 1]
+            if vis_pre is not None:
+                vis = vis_pre
+            else:
+                l_in = jax.lax.stop_gradient(l) if cfg.light_vis_detach else l
+                light_emb = nerf_embed(l_in, cfg.n_freqs_xyz)
+                vis = _visibility(params, cfg, point_emb, light_emb)  # [N, 1]
             vis_c = jnp.clip(vis, 0.0, 1.0)
             if cfg.vis_rgb_detach:
                 vis_c = jax.lax.stop_gradient(vis_c)
@@ -147,7 +151,12 @@ def render_psnet(
     light_ints = jnp.asarray(light_ints, points.dtype)
     if light_ints.ndim == 0:
         light_ints = jnp.full((light_dirs.shape[0],), light_ints)
-    rgb, spec, vis = jax.vmap(shade_one_light)(light_dirs, light_ints)
+    if vis_precomputed is not None:
+        rgb, spec, vis = jax.vmap(shade_one_light)(
+            light_dirs, light_ints, vis_precomputed)
+    else:
+        rgb, spec, vis = jax.vmap(
+            lambda d, i: shade_one_light(d, i, None))(light_dirs, light_ints)
     # fills match the reference (ones outside the surface mask)
     rgb = jnp.where(mask1[None], rgb, 1.0)                    # [L, N, 3]
     vis = jnp.where(mask1[None], vis, 1.0)                    # [L, N, 1]
