@@ -51,10 +51,11 @@ def lift(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, intrinsics: jnp.ndarray
 def get_camera_params(uv: jnp.ndarray, pose: jnp.ndarray, intrinsics: jnp.ndarray):
     """Unit ray directions + camera location from pixel coords.
 
-    uv: [N, 2]; pose: [4,4] c2w (OpenCV); intrinsics: [3|4, 3|4].
-    Returns (ray_dirs [N,3] unit-norm, cam_loc [3]).
+    uv: [N, 2]; pose: [4,4] c2w (OpenCV) or [7] quaternion+translation;
+    intrinsics: [3|4, 3|4]. Returns (ray_dirs [N,3] unit-norm, cam_loc [3]).
     Reference: stage2/utils/rend_util.py:90-120.
     """
+    pose = pose_to_matrix(pose)
     cam_loc = pose[:3, 3]
     z = jnp.ones_like(uv[..., 0])
     pix_cam = lift(uv[..., 0], uv[..., 1], z, intrinsics)  # [N, 4]
@@ -122,3 +123,69 @@ def arange_pixels(resolution, image_range=(-1.0, 1.0)):
     scaled = scaled.at[:, 0].set(scale * scaled[:, 0] / (w - 1) - offset)
     scaled = scaled.at[:, 1].set(scale * scaled[:, 1] / (h - 1) - offset)
     return loc.astype(jnp.int32), scaled
+
+
+def factorize_P(P: "np.ndarray"):
+    """RQ-factorize a 3x4 projection matrix into (K, R, t) with positive
+    intrinsic diagonal and det(R)=1 (stage2/utils/rend_util.py:31-70).
+    Host-side numpy/scipy."""
+    import numpy as np
+    from scipy import linalg
+
+    P = np.asarray(P, np.float64)[:3, :4].copy()
+    K, R = linalg.rq(P[:3, :3])
+    neg = int(K[0, 0] < 0) + int(K[1, 1] < 0) + int(K[2, 2] < 0)
+    if neg in (1, 3):
+        K, R = -K, -R
+    fix = np.diag((1.0, 1.0, 1.0))
+    if K[0, 0] < 0 and K[1, 1] < 0:
+        fix = np.diag((-1.0, -1.0, 1.0))
+    elif K[0, 0] < 0 and K[2, 2] < 0:
+        fix = np.diag((-1.0, 1.0, -1.0))
+    elif K[1, 1] < 0 and K[2, 2] < 0:
+        fix = np.diag((1.0, -1.0, -1.0))
+    K = K @ fix
+    R = fix @ R
+    scale = K[2, 2]
+    K = K / scale
+    P = P / scale
+    if np.linalg.det(R) < 0:
+        R = -R
+        P = -P
+    t = linalg.lstsq(K, P[:3, 3:4])[0]
+    return K, R, t
+
+
+def load_K_Rt_from_P(P: "np.ndarray"):
+    """Projection matrix -> (intrinsics [4,4], c2w pose [4,4])
+    (stage2/utils/rend_util.py:73-88)."""
+    import numpy as np
+
+    K, R, t = factorize_P(P)
+    intrinsics = np.eye(4, dtype=np.float32)
+    intrinsics[:3, :3] = K.astype(np.float32)
+    w2c = np.eye(4)
+    w2c[:3, :4] = np.hstack((R, t))
+    pose = np.linalg.inv(w2c).astype(np.float32)
+    return intrinsics, pose
+
+
+def pose_to_matrix(pose: jnp.ndarray) -> jnp.ndarray:
+    """Accept either a [4,4] c2w matrix or a [7] quaternion+translation
+    (w,x,y,z,tx,ty,tz) and return [4,4] (stage2/utils/rend_util.py:91-99)."""
+    if pose.shape[-1] == 7:
+        r = quat_to_rot(pose[..., :4])
+        m = jnp.eye(4, dtype=pose.dtype)
+        m = m.at[:3, :3].set(r)
+        m = m.at[:3, 3].set(pose[..., 4:])
+        return m
+    return pose
+
+
+def get_depth(points: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame depth of world points (stage2/utils/rend_util.py:211-228).
+    points [N,3], pose [4,4] c2w -> depth [N]."""
+    pose = pose_to_matrix(pose)
+    w2c = jnp.linalg.inv(pose)
+    cam = jnp.einsum("ij,nj->ni", w2c[:3, :3], points) + w2c[:3, 3]
+    return cam[:, 2]

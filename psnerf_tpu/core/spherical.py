@@ -78,3 +78,13 @@ def random_sphere_dirs(n: int, rng: np.random.Generator) -> np.ndarray:
     stage1/shape_extract.py:117-123)."""
     v = rng.normal(size=(n, 3))
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def vis_light_probe(env_light: np.ndarray, h: int = 128) -> np.ndarray:
+    """Tonemapped light-probe preview image (stage2/utils/eval_utils.py:43-61):
+    nearest-upsampled envmap, hdr/max then gamma 4."""
+    eh, ew = env_light.shape[:2]
+    scale = max(1, h // eh)
+    probe = np.repeat(np.repeat(env_light, scale, axis=0), scale, axis=1)
+    tone = (probe / max(probe.max(), 1e-8)) ** (1.0 / 4.0)
+    return (np.clip(tone, 0, 1) * 255).astype(np.uint8)

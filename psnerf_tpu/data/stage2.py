@@ -166,3 +166,49 @@ def sample_stage2_batch(
         batch["light_vis_train"] = pool_dirs[sidx]
         batch["vis_train_gt"] = pool_vis[sidx][:, pix]
     return batch
+
+
+def sample_stage2_patches(
+    data: dict,
+    view: int,
+    key: jax.Array,
+    n_patches: int,
+    r_patch: int = 1,
+    light_bs: int = 10,
+    light_init_dirs: jnp.ndarray | None = None,
+    vis_train_num: int = 16,
+) -> dict:
+    """Patch-based pixel sampling: (2r)x(2r) blocks around random centers
+    (stage2/datasets/dataset.py:226-253) — enables patch-structured losses.
+    Returns the same batch contract as sample_stage2_batch with
+    num_pixels = n_patches * (2r)^2."""
+    h, w = data["img_res"]
+    k_c, k_rest = jax.random.split(key)
+    u, v = jnp.meshgrid(jnp.arange(-r_patch, r_patch),
+                        jnp.arange(-r_patch, r_patch), indexing="xy")
+    offsets = (v * w + u).reshape(-1)  # [(2r)^2]
+    cx = jax.random.randint(k_c, (n_patches,), r_patch, w - r_patch)
+    cy = jax.random.randint(k_c, (n_patches,), r_patch, h - r_patch)
+    centers = cy * w + cx
+    pix = (centers[:, None] + offsets[None, :]).reshape(-1)
+
+    batch = sample_stage2_batch(
+        data, view, k_rest, num_pixels=pix.shape[0], light_bs=light_bs,
+        sample_in_mask=False, vis_train_num=vis_train_num,
+        light_init_dirs=light_init_dirs,
+    )
+    # overwrite the pixel selection with the patch layout
+    uv = jnp.stack([pix % w, pix // w], axis=-1).astype(jnp.float32)
+    lidx = batch["lidx"]
+    batch.update({
+        "uv": uv,
+        "pix": pix,
+        "object_mask": data["object_masks"][view][pix],
+        "points": data["points"][view][pix],
+        "normal": data["normals"][view][pix],
+        "surface_mask": data["surface_mask"][view][pix],
+        "rgb_gt": data["imgs"][view][lidx][:, pix],
+    })
+    if "visibility" in data:
+        batch["visibility"] = data["visibility"][view][lidx][:, pix]
+    return batch

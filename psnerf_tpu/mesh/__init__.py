@@ -7,4 +7,5 @@ from psnerf_tpu.mesh.meshio import (
     sample_surface,
     triangle_areas,
 )
-from psnerf_tpu.mesh.chamfer import MeshProximity, chamfer_distance
+from psnerf_tpu.mesh.chamfer import MeshProximity, chamfer_distance, surface_distance
+from psnerf_tpu.mesh.refine import refine_mesh, make_mask_carver

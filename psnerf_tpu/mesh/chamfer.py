@@ -66,3 +66,17 @@ def chamfer_distance(
     d_st = np.nan_to_num(d_st)
     d_ts = np.nan_to_num(d_ts)
     return float((d_st.mean() + d_ts.mean()) / 2.0)
+
+
+def surface_distance(
+    verts_src: np.ndarray, faces_src: np.ndarray,
+    verts_tgt: np.ndarray, faces_tgt: np.ndarray,
+    num_samples: int = 10_000,
+    seed: int = 0,
+) -> float:
+    """One-directional P2S: mean distance from src surface samples to the
+    target mesh (stage2/utils/metrics.py:103-113)."""
+    rng = np.random.default_rng(seed)
+    src_pts = sample_surface(verts_src, faces_src, num_samples, rng)
+    d = MeshProximity(verts_tgt, faces_tgt).distances(src_pts)
+    return float(np.nan_to_num(d).mean())

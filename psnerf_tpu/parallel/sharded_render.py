@@ -1,0 +1,56 @@
+"""Multi-chip full-frame rendering: shard_map over the ray axis.
+
+Each device renders its contiguous pixel shard with the fused tiled frame
+renderer (lax.map inside the shard bounds per-device memory); results
+all-gather back to the host implicitly through the output sharding. Rays are
+embarrassingly parallel — no cross-device collectives are needed during
+rendering, so scaling is linear over ICI (SURVEY.md §2.b / §5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from psnerf_tpu.eval.frame import render_frame_stage2
+from psnerf_tpu.fields.psnet import PSNetConfig
+from psnerf_tpu.parallel.mesh import RAY_AXIS
+
+
+def make_sharded_frame_renderer(
+    cfg: PSNetConfig,
+    mesh,
+    tile: int = 4096,
+    outputs: tuple = ("rgb",),
+    use_fused_vis: bool = False,
+):
+    """Returns fn(params, uv, pose, K, points, normals, mask, ldirs, lints)
+    -> {name: [L, N, ...]} with N sharded over the mesh during compute.
+    N must be divisible by (mesh size * tile)."""
+
+    def per_device(params, uv, pose, K, pts, nrm, msk, ld, li):
+        return render_frame_stage2(
+            params, cfg, uv, pose, K, pts, nrm, msk, ld, li,
+            tile=tile, outputs=outputs, use_fused_vis=use_fused_vis,
+        )
+
+    # pixel-axis leaves sharded; params/camera/lights replicated
+    pix0 = P(RAY_AXIS)
+    rep = P()
+    in_specs = (rep, pix0, rep, rep, pix0, pix0, pix0, rep, rep)
+
+    def out_spec(name):
+        # [L, N, ...] outputs shard on axis 1; [N, ...] on axis 0
+        return P(None, RAY_AXIS) if name in ("rgb", "rough", "visibility") \
+            else P(RAY_AXIS)
+
+    out_specs = {name: out_spec(name) for name in outputs}
+
+    fn = jax.shard_map(
+        per_device, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)

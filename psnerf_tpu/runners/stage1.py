@@ -92,6 +92,9 @@ class Stage1Runner:
                 normal_angle=65.0,
             )
         )
+        from psnerf_tpu.train.logging import MetricLogger
+
+        self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int | None = None,
@@ -119,6 +122,7 @@ class Stage1Runner:
                        f"normal={terms.get('normal_loss', 0.0):.4f} "
                        f"lr={terms['lr']:.2e} {log_every / dt:.1f} it/s")
                 print(msg)
+                self.logger.log(self.it, terms)
                 if on_log:
                     on_log(self.it, terms)
                 t0 = time.time()
@@ -208,6 +212,31 @@ class Stage1Runner:
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         return metrics
+
+    def render_visdata(self, out_path: str, views=(0, 1), tile: int = 4096):
+        """Visualization strip per view (gt | render | normal | SDPS normal |
+        MAE heatmap | mask | acc | phong), stacked vertically — the
+        reference's render_visdata (stage1/model/training.py:62-118)."""
+        from psnerf_tpu.train.logging import stage1_vis_strip
+
+        rows = []
+        for v in views:
+            if v >= self.n_views:
+                continue
+            r = self.render_view(v, tile)
+            gt = np.asarray(self.data["imgs"][v])
+            gt_normal = None
+            if "normals" in self.data:
+                pose = np.asarray(self.data["poses"][v])
+                flip = np.asarray([1.0, -1.0, -1.0])
+                n_cam = np.asarray(self.data["normals"][v])
+                gt_normal = np.einsum(
+                    "ij,hwj->hwi", pose[:3, :3] * flip[None, :], n_cam)
+            rows.append(stage1_vis_strip(
+                r, gt, gt_normal, np.asarray(self.data["masks"][v])))
+        strip = np.concatenate(rows, axis=0)
+        imageio.imwrite(out_path, strip)
+        return strip
 
     # --------------------------------------------------------- shape export
     def shape_extract(self, out_dir: str, visibility: bool = True,

@@ -115,6 +115,10 @@ class Stage2Runner:
                 self.it = int(scalars.get("it", 0))
                 print(f"resumed from {ck} at it={self.it}")
 
+        from psnerf_tpu.train.logging import MetricLogger
+
+        self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
+
         num_pixels = cfg.num_pixels
         total = self.data["imgs"].shape[2]
         if cfg.train_all_pixels:
@@ -166,6 +170,8 @@ class Stage2Runner:
                       f"normal={terms.get('normal_loss', 0.0):.4f} "
                       f"ld_err={lderr:.2f}deg "
                       f"{log_every / dt:.1f} it/s")
+                terms["light_direction_error"] = lderr
+                self.logger.log(self.it, terms)
                 if on_log:
                     on_log(self.it, terms)
                 t0 = time.time()
@@ -308,13 +314,16 @@ class Stage2Runner:
         """Relight under a lat-long envmap: 2*light_h^2 directional lights,
         per-light intensity = texel rgb, SUM over lights, tonemap
         (stage2/eval.py:173-231). envmap: [light_h, 2*light_h, 3]."""
+        from psnerf_tpu.core.spherical import vis_light_probe
+
         data = self._eval_data(split)
         lxyz, _ = gen_light_xyz(light_h, 2 * light_h, envmap_radius=1.0)
         dirs = lxyz.reshape(-1, 3)
         dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
         texels = envmap.reshape(-1, 3).astype(np.float32) * envmap_scale
         os.makedirs(os.path.join(out_dir, "rgb", "img"), exist_ok=True)
-        cfg = self.cfg.net
+        imageio.imwrite(os.path.join(out_dir, "light_probe.png"),
+                        vis_light_probe(envmap * envmap_scale, light_h * 8))
         for v, vi in enumerate(data["views"]):
             # per-light per-CHANNEL intensity = envmap texel (eval.py:202);
             # sum over the light axis, clip, tonemap (eval.py:218-220)

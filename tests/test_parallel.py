@@ -1,0 +1,84 @@
+"""Multi-device (8 virtual CPU) sharding: sharded renders and train steps
+must match the single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psnerf_tpu.fields import PSNetConfig, init_psnet
+from psnerf_tpu.parallel import make_mesh, replicate, shard_stage2_batch
+from psnerf_tpu.parallel.sharded_render import make_sharded_frame_renderer
+from psnerf_tpu.eval.frame import render_frame_stage2
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+CFG = PSNetConfig(mlp_width=32, sg_mlp_width=16, normal_mlp_width=32,
+                  vis_mlp_width=32, vis_mlp_depth=4, vis_mlp_skip_at=2,
+                  xyz_jitter_std=0)
+
+
+def _frame_inputs(n=8 * 64, l=3):
+    params = init_psnet(jax.random.PRNGKey(0), CFG)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.3
+    nrm = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    msk = jnp.ones((n,), bool)
+    xs = jnp.arange(n) % 32
+    uv = jnp.stack([xs, jnp.arange(n) // 32], -1).astype(jnp.float32)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -3.0]))
+    K = jnp.asarray([[80.0, 0, 16, 0], [0, 80.0, 16, 0],
+                     [0, 0, 1, 0], [0, 0, 0, 1.0]])
+    ld = jax.random.normal(jax.random.PRNGKey(3), (l, 3))
+    ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+    li = jnp.full((l,), 1.0)
+    return params, (uv, pose, K, pts, nrm, msk, ld, li)
+
+
+def test_sharded_frame_matches_single_device():
+    mesh = make_mesh(8)
+    params, args = _frame_inputs()
+    single = render_frame_stage2(params, CFG, *args, tile=64,
+                                 outputs=("rgb", "albedo"))
+    render = make_sharded_frame_renderer(CFG, mesh, tile=64,
+                                         outputs=("rgb", "albedo"))
+    with mesh:
+        sharded = render(replicate(params, mesh), *args)
+    np.testing.assert_allclose(np.asarray(sharded["rgb"]),
+                               np.asarray(single["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded["albedo"]),
+                               np.asarray(single["albedo"]), atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    """Data-parallel stage-2 train step: gradients psum'd by XLA from the
+    sharded batch must equal the single-device step bit-for-tolerance."""
+    from psnerf_tpu.train import Stage2TrainConfig, make_stage2_train_step
+    from psnerf_tpu.train.stage2 import init_stage2_params
+    from tests.test_train import _stage2_batch
+
+    tcfg = Stage2TrainConfig(milestone_iters=(), train_order=False)
+    model = init_psnet(jax.random.PRNGKey(0), CFG)
+    dirs0 = jax.random.normal(jax.random.PRNGKey(3), (12, 3))
+    dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True)
+    params = init_stage2_params(model, dirs0, jnp.full((12, 1), 1.0))
+    init_opt, step = make_stage2_train_step(CFG, tcfg)
+    opt = init_opt(params)
+    batch = _stage2_batch(n=64, l=4)
+
+    p1, o1, t1 = step(params, opt, batch, 10.0, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    with mesh:
+        pr = replicate(params, mesh)
+        orr = replicate(opt, mesh)
+        sb = shard_stage2_batch(batch, mesh)
+        p2, o2, t2 = step(pr, orr, sb, 10.0, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(t1["loss"]), float(t2["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

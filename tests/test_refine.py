@@ -1,0 +1,63 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psnerf_tpu.mesh import (
+    extract_mesh,
+    make_mask_carver,
+    refine_mesh,
+    surface_distance,
+)
+
+
+def sphere_occ_jnp(p, r=0.6, sharp=30.0):
+    return jax.nn.sigmoid(-sharp * (jnp.linalg.norm(p, axis=-1) - r))
+
+
+def test_refine_mesh_pulls_to_surface():
+    """Extract at coarse resolution (vertices off the true surface), refine
+    against the smooth analytic occupancy -> vertex radii tighten around r."""
+    v, t = extract_mesh(lambda p: 0.6 - np.linalg.norm(p, axis=-1),
+                        resolution0=8, upsampling_steps=0, padding=0.4)
+    # perturb vertices so there is something to recover
+    rng = np.random.default_rng(0)
+    v_noisy = v + rng.normal(0, 0.02, v.shape)
+    before = np.abs(np.linalg.norm(v_noisy, axis=-1) - 0.6).mean()
+    v_ref = refine_mesh(sphere_occ_jnp, v_noisy, t, steps=150,
+                        faces_per_step=2048, lr=3e-4)
+    after = np.abs(np.linalg.norm(v_ref, axis=-1) - 0.6).mean()
+    assert after < before * 0.6, (before, after)
+
+
+def test_surface_distance():
+    v1, t1 = extract_mesh(lambda p: 0.6 - np.linalg.norm(p, axis=-1),
+                          resolution0=16, upsampling_steps=1)
+    v2, t2 = extract_mesh(lambda p: 0.5 - np.linalg.norm(p, axis=-1),
+                          resolution0=16, upsampling_steps=1)
+    np.testing.assert_allclose(surface_distance(v1, t1, v2, t2, 2000), 0.1,
+                               atol=0.01)
+
+
+def test_mask_carver_keeps_visible_region():
+    """One camera looking +z at the origin: points inside the projected mask
+    disc survive; points far off-axis are carved."""
+    h = w = 64
+    mask = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    mask[(ys - 32) ** 2 + (xs - 32) ** 2 < 12**2] = 1.0
+
+    # screen convention: proj = K @ w2c @ p normalized to [-1, 1]
+    # build K mapping camera coords to [-1,1]: x_ndc = fx * X/Z
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 2.0  # f chosen so +-0.5 world maps inside
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 3.0  # camera at z=-3 looking +z
+
+    carve = make_mask_carver(mask[None], K[None], w2c[None], dilate_radius=2)
+    pts = np.asarray([
+        [0.0, 0.0, 0.0],     # center: inside mask
+        [0.05, 0.0, 0.0],    # near center
+        [1.2, 0.0, 0.0],     # off-axis: outside the mask disc
+    ], np.float32)
+    keep = carve(pts)
+    assert keep[0] and keep[1] and not keep[2]
