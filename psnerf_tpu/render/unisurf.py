@@ -51,14 +51,19 @@ class UnisurfConfig:
 
 
 def _march_and_surface(field_params, field_cfg, rcfg, pixels, camera_mat,
-                       world_mat, n_steps, phase_key=None):
-    """Shared preamble: rays, root-finding march, surface points/masks."""
+                       world_mat, n_steps, phase_key=None, occ_fn=None):
+    """Shared preamble: rays, root-finding march, surface points/masks.
+
+    occ_fn: optional occupancy closure override for the (no-grad) marching —
+    e.g. the fused Pallas kernel (psnerf_tpu.ops.fused_occ.make_fused_occ_fn).
+    """
     n = pixels.shape[0]
     cam = origin_to_world(n, world_mat)
     ray = image_points_to_ray(pixels, camera_mat, world_mat)
     ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
-    occ_fn = lambda p: occ_alpha(field_params, p, field_cfg)
+    if occ_fn is None:
+        occ_fn = lambda p: occ_alpha(field_params, p, field_cfg)
     d_i = ray_marching(
         occ_fn, cam, ray, n_steps=n_steps, near=rcfg.near, rad=rcfg.radius,
         phase_key=phase_key,
@@ -83,6 +88,7 @@ def render_unisurf(
     key: Optional[jax.Array] = None,   # None => no stratified noise (eval)
     use_outside: bool = True,   # static: steps+steps_outside grid (it > 5000)
     train: bool = True,         # static: also produce jittered-normal pairs
+    occ_fn=None,                # optional marching-occupancy override
 ) -> dict:
     """Volumetric render with surface-adaptive sampling.
 
@@ -99,7 +105,7 @@ def render_unisurf(
 
     cam, ray, dists, points, surface_mask = _march_and_surface(
         field_params, field_cfg, rcfg, pixels, camera_mat, world_mat,
-        rcfg.ray_marching_steps, phase_key=k_phase,
+        rcfg.ray_marching_steps, phase_key=k_phase, occ_fn=occ_fn,
     )
     n = pixels.shape[0]
 
@@ -174,6 +180,7 @@ def render_shape_extract(
     world_mat: jnp.ndarray,
     light_dir: Optional[jnp.ndarray] = None,  # [L, 3] -> also visibility
     n_steps: int = 512,
+    occ_fn=None,
 ) -> dict:
     """Export per-pixel surface points / normals / mask (+ per-light
     visibility). Reference: stage1/model/rendering.py:297-376.
@@ -182,7 +189,8 @@ def render_shape_extract(
     the light axis is vmapped, replacing the 96-light Python loop.
     """
     _, _, _, points, surface_mask = _march_and_surface(
-        field_params, field_cfg, rcfg, pixels, camera_mat, world_mat, n_steps
+        field_params, field_cfg, rcfg, pixels, camera_mat, world_mat, n_steps,
+        occ_fn=occ_fn,
     )
     g = occ_gradient(field_params, points, field_cfg)
     normals = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
@@ -190,7 +198,8 @@ def render_shape_extract(
 
     out = {"mask": surface_mask, "normal": norm_pred, "points": points}
     if light_dir is not None:
-        occ_fn = lambda p: occ_alpha(field_params, p, field_cfg)
+        if occ_fn is None:
+            occ_fn = lambda p: occ_alpha(field_params, p, field_cfg)
         vis = light_visibility(occ_fn, points, light_dir)  # [L, N]
         out["visibility"] = jnp.where(surface_mask[None, :], vis, 1.0)
     return out

@@ -48,7 +48,12 @@ def _row_major_pixels(h, w):
 
 class Stage1Runner:
     def __init__(self, cfg: Stage1Config, workdir: str, seed: int = 0,
-                 resume: bool = True):
+                 resume: bool = True, use_fused_occ: bool | None = None):
+        # fused Pallas marching kernel: on by default on TPU; the CPU test
+        # platform falls back to the XLA path
+        if use_fused_occ is None:
+            use_fused_occ = jax.default_backend() == "tpu"
+        self.use_fused_occ = use_fused_occ
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -71,7 +76,7 @@ class Stage1Runner:
         self.key = jax.random.PRNGKey(seed)
         self.params = init_occupancy_field(jax.random.PRNGKey(seed), cfg.field)
         init_opt, self.step_fn = make_stage1_train_step(
-            cfg.field, cfg.render, self.tcfg
+            cfg.field, cfg.render, self.tcfg, use_fused_occ=use_fused_occ,
         )
         self.opt_state = init_opt(self.params)
         self.it = 0
@@ -96,14 +101,34 @@ class Stage1Runner:
 
         self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
+    def _occ_fn(self):
+        """Marching-occupancy closure: fused Pallas kernel on TPU, else None
+        (the renderers build the XLA path)."""
+        if not self.use_fused_occ:
+            return None
+        from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
+
+        return make_fused_occ_fn(self.params, self.cfg.field)
+
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int | None = None,
-              ckpt_every: int | None = None, on_log=None):
+              ckpt_every: int | None = None, on_log=None,
+              wall_budget_s: float | None = None):
+        """wall_budget_s: checkpoint and stop cleanly when the wall-clock
+        budget is exhausted (a WORKING version of the reference's dead
+        --exit-after flag, stage1/train.py:26-28); resume picks up via the
+        rolling checkpoint."""
         cfg = self.cfg
         log_every = log_every or cfg.print_every
         ckpt_every = ckpt_every or cfg.checkpoint_every
+        t_start = time.time()
         t0 = time.time()
         while self.it < max_iters:
+            if wall_budget_s is not None and time.time() - t_start > wall_budget_s:
+                self.save(self.it)
+                print(f"[stage1] wall budget reached at it={self.it}; "
+                      "checkpointed for resume")
+                return self
             self.key, k1, k2, k3 = jax.random.split(self.key, 4)
             view = jax.random.randint(k1, (), 0, self.n_views)
             batch = self._sample(view, k2)
@@ -150,11 +175,14 @@ class Stage1Runner:
 
         cfg = self.cfg
 
+        occ_fn = self._occ_fn()
+
         @jax.jit
         def tile_fn(params, pix_tile, pose):
             out = render_unisurf(
                 params, cfg.field, cfg.render, pix_tile, data["K"], pose,
                 it=1e5, key=None, use_outside=True, train=False,
+                occ_fn=occ_fn,
             )
             phong = render_phong(params, cfg.field, cfg.render, pix_tile,
                                  data["K"], pose)
@@ -275,11 +303,14 @@ class Stage1Runner:
                 for i, vi in enumerate(data["views"])
             ]
 
+        occ_fn = self._occ_fn()
+
         @partial(jax.jit, static_argnames=("with_vis",))
         def tile_fn(params, pix_tile, pose, light_dir, with_vis):
             return render_shape_extract(
                 params, cfg.field, cfg.render, pix_tile, data["K"], pose,
                 light_dir=light_dir if with_vis else None, n_steps=n_steps,
+                occ_fn=occ_fn,
             )
 
         rng = np.random.default_rng(seed)

@@ -138,10 +138,17 @@ class Stage2Runner:
 
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int = 100,
-              ckpt_every: int | None = None, on_log=None):
+              ckpt_every: int | None = None, on_log=None,
+              wall_budget_s: float | None = None):
         ckpt_every = ckpt_every or self.cfg.ckpt_freq
+        t_start = time.time()
         t0 = time.time()
         while self.it < max_iters:
+            if wall_budget_s is not None and time.time() - t_start > wall_budget_s:
+                self.save(self.it)
+                print(f"[stage2] wall budget reached at it={self.it}; "
+                      "checkpointed for resume")
+                return self
             self.key, k1, k2 = jax.random.split(self.key, 3)
             view = int(jax.random.randint(k1, (), 0, self.n_views))
             batch = self._sample(view, k2)

@@ -36,7 +36,8 @@ class Stage1TrainConfig:
 
 
 def make_stage1_train_step(
-    field_cfg: OccFieldConfig, rcfg: UnisurfConfig, tcfg: Stage1TrainConfig
+    field_cfg: OccFieldConfig, rcfg: UnisurfConfig, tcfg: Stage1TrainConfig,
+    use_fused_occ: bool = False,
 ):
     """Returns (init_opt_state, step). step signature:
 
@@ -46,13 +47,21 @@ def make_stage1_train_step(
     batch: pixels [N,2], rgb_gt [N,3], camera_mat [4,4], world_mat [4,4],
            normal_gt [N,3] (world frame), norm_mask [N] bool,
            mask_gt [N] float, mask_valid [N] bool.
+    use_fused_occ: run the (no-grad) ray-marching occupancy queries through
+    the Pallas fused kernel (TPU only).
     """
 
     def loss_fn(params, batch, it, key, use_outside):
+        occ_fn = None
+        if use_fused_occ:
+            from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
+
+            occ_fn = make_fused_occ_fn(params, field_cfg)
         out = render_unisurf(
             params, field_cfg, rcfg,
             batch["pixels"], batch["camera_mat"], batch["world_mat"],
             it=it, key=key, use_outside=use_outside, train=True,
+            occ_fn=occ_fn,
         )
         # gate SDPS-normal supervision on iteration (training.py:187)
         norm_mask = batch["norm_mask"] & (it >= tcfg.normal_after)
