@@ -75,9 +75,13 @@ def init_occupancy_field(key: jax.Array, cfg: OccFieldConfig) -> dict:
             # SAL geometric init (network.py:47-61), adapted to [din, dout]
             # weight layout (reference torch layout is [dout, din]).
             if l == n_geo - 1:
-                w = jnp.full((din, dout), math.sqrt(math.pi) / math.sqrt(din))
+                # NOTE: dtype pinned — jnp.full with a python float yields a
+                # weak-typed array, which flips to strong after one optimizer
+                # update and forces a jit recompile
+                w = jnp.full((din, dout), math.sqrt(math.pi) / math.sqrt(din),
+                             dtype=jnp.float32)
                 w = w + 1e-4 * jax.random.normal(keys[l], (din, dout))
-                b = jnp.full((dout,), -cfg.sphere_bias)
+                b = jnp.full((dout,), -cfg.sphere_bias, dtype=jnp.float32)
             elif cfg.octaves_pe > 0 and l == 0:
                 w = jnp.zeros((din, dout))
                 w = w.at[:3, :].set(

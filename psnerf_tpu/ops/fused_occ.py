@@ -143,14 +143,22 @@ def fused_occ_logit(
 def make_fused_occ_fn(params: dict, cfg: OccFieldConfig, tile: int = 1024,
                       interpret: bool = False):
     """occupancy-probability closure p[N,3] -> alpha[N] (pads N to the tile),
-    for marching / visibility / mesh evaluation call sites."""
+    for marching / visibility / mesh evaluation call sites.
+
+    The kernel is forward-only and all its call sites are no-grad regions
+    (the reference wraps them in torch.no_grad); inputs are stop_gradient'd
+    so autodiff never attempts to linearize through the pallas_call even when
+    `params` are traced inside a surrounding value_and_grad."""
 
     def occ_fn(p):
+        sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+        p = jax.lax.stop_gradient(p)
         n = p.shape[0]
         pad = (-n) % tile
         if pad:
             p = jnp.concatenate([p, jnp.zeros((pad, 3), p.dtype)])
-        logit = fused_occ_logit(params, p, cfg, tile=tile, interpret=interpret)
+        logit = fused_occ_logit(sg_params, p, cfg, tile=tile,
+                                interpret=interpret)
         return jax.nn.sigmoid(-10.0 * logit[:n])
 
     return occ_fn

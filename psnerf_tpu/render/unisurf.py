@@ -153,9 +153,13 @@ def render_unisurf(
     g = occ_gradient(field_params, pp, field_cfg)
     normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
     norm_pred = jnp.where(surface_mask[:, None], normals[:n], 0.0)
-    diff_norm = (
-        jnp.linalg.norm(normals[:n] - normals[n:], axis=-1) if train else None
-    )
+    if train:
+        # eps inside the sqrt: on TPU the reduced-precision matmuls can make
+        # the jittered pair bitwise identical, and d||x|| at x=0 is 0/0 = NaN
+        d2 = jnp.sum((normals[:n] - normals[n:]) ** 2, axis=-1)
+        diff_norm = jnp.sqrt(d2 + 1e-12)
+    else:
+        diff_norm = None
 
     acc_map = jnp.sum(weights, axis=-1)
     if rcfg.white_background:
