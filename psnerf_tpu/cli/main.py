@@ -89,6 +89,9 @@ def main(argv=None):
     p.add_argument("--obj", required=True, help="dataset directory")
     p.add_argument("--intnorm", action="store_true")
 
+    from psnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     args = parser.parse_args(argv)
     cmd = args.cmd
 

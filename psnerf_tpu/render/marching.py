@@ -152,8 +152,12 @@ def light_visibility(
     light ray (stage1/model/rendering.py:378-408).
 
     surf: [N, 3] surface points; light_dir: [L, 3] unit dirs.
-    Returns visibility [L, N] in [0, 1]. The L axis is a vmapped array axis —
-    no Python light loop (replaces the lbatch=96 loop, rendering.py:367-372).
+    Returns visibility [L, N] in [0, 1]. The L axis is a lax.map inside ONE
+    compiled program (replaces the reference's Python lbatch=96 loop,
+    rendering.py:367-372): each light's N x S march is fully parallel, and
+    mapping (rather than vmapping) the light axis keeps the working set at
+    one light's samples — vmap would materialize [L, N*S, ...] at once,
+    which OOMs at export scale (80 lights x 4096 px x 128 steps).
     """
     t = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
 
@@ -165,4 +169,4 @@ def light_visibility(
         acc = jnp.sum(alpha_composite(alpha), axis=-1)
         return 1.0 - acc
 
-    return jax.lax.stop_gradient(jax.vmap(one_light)(light_dir))
+    return jax.lax.stop_gradient(jax.lax.map(one_light, light_dir))

@@ -8,6 +8,7 @@ per-phase timer with device synchronization.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 import jax
@@ -51,3 +52,18 @@ class PhaseTimer:
 
     def summary(self) -> dict:
         return {k: float(np.mean(v)) for k, v in self.times.items()}
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache: the big stage-1 train-step program
+    takes ~100 s to compile on the TPU backend; caching makes every later
+    process start instantly. Called by the CLI and runners."""
+    import jax
+
+    path = path or os.path.expanduser("~/.cache/psnerf_tpu_xla")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
