@@ -89,6 +89,23 @@ def main(argv=None):
     p.add_argument("--obj", required=True, help="dataset directory")
     p.add_argument("--intnorm", action="store_true")
 
+    p = sub.add_parser("convert-ckpt",
+                       help="reference torch checkpoint -> psnerf_tpu npz")
+    p.add_argument("--stage", choices=["stage1", "stage2", "lcnet", "nenet"],
+                   required=True)
+    p.add_argument("--model", required=True, help="torch .pt/.pth[.tar] path")
+    p.add_argument("--lights", default=None,
+                   help="stage2 LightParameters .pth (optional)")
+    p.add_argument("--out", required=True, help="output .npz path")
+
+    p = sub.add_parser("sdps-preprocess",
+                       help="run SDPS-Net (LCNet+NENet) over a dataset")
+    p.add_argument("--obj", required=True, help="dataset directory")
+    p.add_argument("--lcnet", required=True, help="converted or torch ckpt")
+    p.add_argument("--nenet", required=True)
+    p.add_argument("--train_light", type=int, default=None)
+    p.add_argument("--intnorm_gt", action="store_true")
+
     from psnerf_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
 
@@ -170,6 +187,57 @@ def main(argv=None):
         from psnerf_tpu.preprocess.light_avg import light_average
 
         light_average(args.obj, intnorm=args.intnorm)
+
+    elif cmd == "convert-ckpt":
+        from psnerf_tpu.convert import load_torch_file
+        from psnerf_tpu.train.checkpoints import save_checkpoint
+
+        blob = load_torch_file(args.model)
+        if args.stage == "stage1":
+            from psnerf_tpu.convert import stage1_params_from_torch
+
+            tree = stage1_params_from_torch(blob)
+        elif args.stage == "stage2":
+            from psnerf_tpu.convert import stage2_params_from_torch
+
+            lights = load_torch_file(args.lights) if args.lights else None
+            tree = stage2_params_from_torch(blob, lights)
+        elif args.stage == "lcnet":
+            from psnerf_tpu.preprocess.sdps import load_lcnet_torch
+
+            tree = load_lcnet_torch(blob.get("state_dict", blob))
+        else:
+            from psnerf_tpu.preprocess.sdps import load_nenet_torch
+
+            tree = load_nenet_torch(blob.get("state_dict", blob))
+        save_checkpoint(args.out, tree)
+        print(f"converted {args.stage} checkpoint -> {args.out}")
+
+    elif cmd == "sdps-preprocess":
+        from psnerf_tpu.convert import load_torch_file
+        from psnerf_tpu.preprocess.runner import run_sdps
+        from psnerf_tpu.preprocess.sdps import (
+            init_lcnet, init_nenet, load_lcnet_torch, load_nenet_torch,
+        )
+        from psnerf_tpu.train.checkpoints import load_checkpoint
+
+        def load_net(path, stage):
+            if path.endswith(".npz"):
+                import jax
+
+                template = (init_lcnet(jax.random.PRNGKey(0)) if stage == "lc"
+                            else init_nenet(jax.random.PRNGKey(0)))
+                return load_checkpoint(path, template)[0]
+            blob = load_torch_file(path)
+            sd = blob.get("state_dict", blob)
+            return (load_lcnet_torch(sd) if stage == "lc"
+                    else load_nenet_torch(sd))
+
+        out = run_sdps(args.obj, load_net(args.lcnet, "lc"),
+                       load_net(args.nenet, "ne"),
+                       train_light=args.train_light,
+                       light_intnorm_gt=args.intnorm_gt)
+        print(f"SDPS outputs written to {out}")
 
 
 if __name__ == "__main__":

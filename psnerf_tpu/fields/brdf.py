@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import math
 
-import jax
 import jax.numpy as jnp
 
 # 9 fixed SG lobe sharpness values lambda_i = e^i, i in 2..10 (non-trainable;

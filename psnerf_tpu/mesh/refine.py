@@ -11,7 +11,6 @@ occupancy grid before marching (extracting.py:326-377).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

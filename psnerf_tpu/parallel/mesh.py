@@ -18,7 +18,7 @@ No hand-written collectives are needed — this module only names the layout.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import numpy as np

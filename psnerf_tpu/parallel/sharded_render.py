@@ -9,11 +9,8 @@ rendering, so scaling is linear over ICI (SURVEY.md §2.b / §5.8).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from psnerf_tpu.eval.frame import render_frame_stage2
 from psnerf_tpu.fields.psnet import PSNetConfig

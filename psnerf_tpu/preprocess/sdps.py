@@ -18,7 +18,6 @@ IOHW deconvs) so released `.pth.tar` checkpoints convert 1:1
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -38,7 +38,6 @@ from psnerf_tpu.train.checkpoints import (
     save_checkpoint,
 )
 from psnerf_tpu.train.stage1 import make_stage1_train_step
-from psnerf_tpu.eval.metrics import mae
 
 
 def _row_major_pixels(h, w):

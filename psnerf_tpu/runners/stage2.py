@@ -9,7 +9,6 @@ reference's 64-light x 1024-pixel nested loops).
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 

@@ -81,3 +81,23 @@ def test_yaml_inherit_from(tmp_path):
     cfg = load_yaml_config(str(child))
     assert cfg["a"]["x"] == 1 and cfg["a"]["y"] == 20
     assert cfg["b"] == 3 and cfg["c"] == 4
+
+
+def test_shipped_configs_parse():
+    """The configs/ directory ships ready-to-run configs for every benchmark
+    object; all must parse into typed configs."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    objs = ["bear", "buddha", "cow", "pot2", "reading", "bunny", "armadillo"]
+    cwd = os.getcwd()
+    os.chdir(root)  # inherit_from paths are repo-relative
+    try:
+        for obj in objs:
+            c1 = stage1_config_from_yaml(f"configs/stage1/{obj}.yaml")
+            assert c1.obj_name == obj and c1.field.hidden_dim == 256
+            c2 = stage2_config_from_conf(f"configs/stage2/{obj}.conf")
+            assert c2.obj_name == obj and c2.net.specular_rgb
+            assert c2.stage1_shape_path.endswith("shape_out")
+    finally:
+        os.chdir(cwd)
