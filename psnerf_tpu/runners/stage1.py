@@ -174,28 +174,40 @@ class Stage1Runner:
 
         cfg = self.cfg
 
-        occ_fn = self._occ_fn()
+        # cache the compiled tile renderer; the fused-occ closure bakes the
+        # CURRENT params as constants, so key by training progress too
+        cache = getattr(self, "_view_fns", None)
+        if cache is None:
+            cache = self._view_fns = {}
+        key = (tile, self.it if self.use_fused_occ else -1)
+        if key not in cache:
+            occ_fn = self._occ_fn()
 
-        @jax.jit
-        def tile_fn(params, pix_tile, pose):
-            out = render_unisurf(
-                params, cfg.field, cfg.render, pix_tile, data["K"], pose,
-                it=1e5, key=None, use_outside=True, train=False,
-                occ_fn=occ_fn,
-            )
-            phong = render_phong(params, cfg.field, cfg.render, pix_tile,
-                                 data["K"], pose)
-            return {
-                "rgb": out["rgb"], "normal": out["normal_pred"],
-                "mask": out["mask_pred"], "acc": out["acc_map"],
-                "phong": phong["rgb"],
-            }
+            @jax.jit
+            def tile_fn(params, pix_tile, K, pose):
+                out = render_unisurf(
+                    params, cfg.field, cfg.render, pix_tile, K, pose,
+                    it=1e5, key=None, use_outside=True, train=False,
+                    occ_fn=occ_fn,
+                )
+                phong = render_phong(params, cfg.field, cfg.render, pix_tile,
+                                     K, pose)
+                return {
+                    "rgb": out["rgb"], "normal": out["normal_pred"],
+                    "mask": out["mask_pred"], "acc": out["acc_map"],
+                    "phong": phong["rgb"],
+                }
+
+            cache.clear()  # params changed: older entries are stale anyway
+            cache[key] = tile_fn
+        tile_fn = cache[key]
 
         chunks = []
         pose = data["poses"][view]
         for s in range(0, n + pad, tile):
             chunks.append(jax.device_get(
-                tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]), pose)
+                tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
+                        data["K"], pose)
             ))
         out = {k: np.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]}
         return {

@@ -226,11 +226,19 @@ class Stage2Runner:
         if not cfg.visibility:
             avail.discard("visibility")
         outs = tuple(o for o in outputs if o in avail)
-        out = jax.jit(
-            lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
-            render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk, ld, li,
-                                tile=tile, outputs=outs)
-        )(
+        # cache compiled renderers by (tile, outputs) — a fresh jit closure
+        # per view would recompile every call
+        cache = getattr(self, "_frame_fns", None)
+        if cache is None:
+            cache = self._frame_fns = {}
+        key = (tile, outs)
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
+                render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk,
+                                    ld, li, tile=tile, outputs=outs)
+            )
+        out = cache[key](
             self.params["model"], padded(uv), data["poses"][view], data["K"],
             padded(data["points"][view]), padded(data["normals"][view]),
             padded(data["surface_mask"][view], False),
