@@ -139,6 +139,12 @@ class Stage1Runner:
             self.it += 1
             if self.it % log_every == 0:
                 terms = {k: float(v) for k, v in terms.items()}
+                if not np.isfinite(terms["loss"]):
+                    # the reference drops into a debugger on NaN
+                    # (stage1/model/losses.py:67-68); halt loudly instead —
+                    # the rolling checkpoint holds a pre-divergence state
+                    raise FloatingPointError(
+                        f"non-finite loss at it={self.it}: {terms}")
                 dt = time.time() - t0
                 msg = (f"[stage1 it {self.it}] loss={terms['loss']:.4f} "
                        f"rgb={terms['fullrgb_loss']:.4f} "

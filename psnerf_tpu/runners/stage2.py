@@ -138,7 +138,10 @@ class Stage2Runner:
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int = 100,
               ckpt_every: int | None = None, on_log=None,
-              wall_budget_s: float | None = None):
+              wall_budget_s: float | None = None,
+              plot_every: int | None = None):
+        """plot_every: write a train+test comparison grid every N iterations
+        (the reference's plot_to_disk cadence, stage2/trainer.py:358-360)."""
         ckpt_every = ckpt_every or self.cfg.ckpt_freq
         t_start = time.time()
         t0 = time.time()
@@ -148,6 +151,9 @@ class Stage2Runner:
                 print(f"[stage2] wall budget reached at it={self.it}; "
                       "checkpointed for resume")
                 return self
+            if plot_every and self.it > 0 and self.it % plot_every == 0:
+                self.plot_to_disk(os.path.join(
+                    self.workdir, "plots", f"it_{self.it}.png"))
             self.key, k1, k2 = jax.random.split(self.key, 3)
             view = int(jax.random.randint(k1, (), 0, self.n_views))
             batch = self._sample(view, k2)
@@ -162,6 +168,9 @@ class Stage2Runner:
             self.it += 1
             if self.it % log_every == 0:
                 terms = {k: float(v) for k, v in terms.items()}
+                if not np.isfinite(terms["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at it={self.it}: {terms}")
                 mse2psnr = lambda x: -10.0 * np.log(x + 1e-8) / np.log(10.0)
                 lderr = float(light_direction_error_deg(
                     self.params["light_dirs"],
@@ -189,6 +198,44 @@ class Stage2Runner:
         tree = {"params": self.params, "opt": self.opt_state}
         save_checkpoint(os.path.join(self.ckpt_dir, "model.npz"), tree,
                         {"it": it})
+
+    def plot_to_disk(self, out_path: str, train_view: int = 0,
+                     light: int = 0, tile: int = 4096):
+        """Train-view + test-view comparison grid (pred | gt | normal) with
+        PSNR / normal-MAE printed, as the reference's plot_to_disk
+        (stage2/trainer.py:278-346)."""
+        from psnerf_tpu.eval.metrics import mae, psnr
+
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        rows, stats = [], {}
+        for split, view in (("train", train_view), ("test", 0)):
+            try:
+                data = self._eval_data(split)
+            except FileNotFoundError:
+                continue
+            dirs, ints = self.trained_lights_for_view(data, view)
+            r = self.render_view(data, view, dirs[:max(light + 1, 1)],
+                                 ints[:max(light + 1, 1)], tile,
+                                 outputs=("rgb", "normal_pred"))
+            h, w = data["img_res"]
+            pred = r["rgb"][light]
+            gt = np.asarray(data["imgs"][view][light]).reshape(h, w, 3)
+            gt = gt + (1.0 - r["mask"][..., None])  # white bg like pred
+            normal = r.get("normal_pred",
+                           r["normal_values"][None])[..., :3].reshape(h, w, 3)
+            rows.append(np.concatenate(
+                [pred, gt, normal / 2 + 0.5], axis=1))
+            m = r["mask"] & (np.asarray(data["object_masks"][view])
+                             .reshape(h, w))
+            stats[f"{split}_psnr"] = round(psnr(pred, gt, m), 2)
+            gt_n = np.asarray(data["gt_normal"][view]).reshape(h, w, 3)
+            if np.abs(gt_n).sum() > 0:
+                stats[f"{split}_normal_mae"] = round(
+                    mae(normal, gt_n, m)[0], 2)
+        imageio.imwrite(out_path, _to8(np.concatenate(rows, axis=0)))
+        self.logger.log(self.it, stats)
+        print(f"[stage2 plot] {out_path} {stats}")
+        return stats
 
     # ------------------------------------------------------------ rendering
     def _eval_data(self, split: str):
@@ -392,13 +439,22 @@ class Stage2Runner:
 
 
 def load_envmap(path: str, light_h: int = 16) -> np.ndarray:
-    """Load + bilinear-resize an exr/hdr/png envmap to [light_h, 2*light_h, 3]
-    (stage2/utils/eval_utils.py:11-40)."""
+    """Load + resize an envmap to [light_h, 2*light_h, 3]
+    (stage2/utils/eval_utils.py:11-40). Formats: .hdr (Radiance RGBE),
+    .png, .npy float32. NOTE: this image's OpenCV build has no OpenEXR
+    codec — convert .exr maps to .hdr or .npy
+    (e.g. `oiiotool in.exr -o out.hdr`, or any numpy exporter)."""
     import cv2
 
+    if path.endswith(".npy"):
+        img = np.load(path).astype(np.float32)
+        return cv2.resize(img, (2 * light_h, light_h),
+                          interpolation=cv2.INTER_AREA)
     img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
     if img is None:
-        raise FileNotFoundError(path)
+        raise FileNotFoundError(
+            f"could not read {path} (EXR is unsupported by this OpenCV "
+            "build; use .hdr/.npy)")
     if img.ndim == 3:
         img = img[..., ::-1]  # BGR -> RGB
     else:

@@ -164,6 +164,11 @@ def test_stage2_eval_and_metrics(trained_stage2, scene_dir, tmp_path_factory):
     assert os.path.exists(os.path.join(out, "mask", "img", "view_04.png"))
     assert os.path.exists(os.path.join(out, "normal", "npy", "view_04.npy"))
 
+    # periodic plot (the reference's plot_to_disk)
+    stats = trained_stage2.plot_to_disk(str(tmp_path_factory.mktemp("plots")
+                                            / "p.png"), tile=256)
+    assert "train_psnr" in stats and "test_psnr" in stats
+
     from psnerf_tpu.eval.evaluation import evaluate_outputs
 
     res = evaluate_outputs(scene_dir, out)

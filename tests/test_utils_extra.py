@@ -122,3 +122,28 @@ def test_vis_light_probe():
     env = np.random.rand(16, 32, 3).astype(np.float32)
     img = vis_light_probe(env, 128)
     assert img.shape == (128, 256, 3) and img.dtype == np.uint8
+
+
+def test_load_envmap_exr_and_png(tmp_path):
+    import cv2
+    import imageio.v2 as imageio
+
+    from psnerf_tpu.runners.stage2 import load_envmap
+
+    env = (np.random.rand(64, 128, 3) * 3).astype(np.float32)
+    # HDR (Radiance RGBE) — this opencv build has no EXR codec
+    hdr = str(tmp_path / "e.hdr")
+    assert cv2.imwrite(hdr, env[..., ::-1])  # cv2 writes BGR
+    loaded = load_envmap(hdr, light_h=16)
+    assert loaded.shape == (16, 32, 3)
+    assert loaded.max() > 1.0  # HDR values preserved
+    # raw npy
+    npy = str(tmp_path / "e.npy")
+    np.save(npy, env)
+    loaded = load_envmap(npy, light_h=16)
+    assert loaded.shape == (16, 32, 3) and loaded.max() > 1.0
+    png = str(tmp_path / "e.png")
+    imageio.imwrite(png, (np.clip(env / 3, 0, 1) * 255).astype(np.uint8))
+    loaded = load_envmap(png, light_h=16)
+    assert loaded.shape == (16, 32, 3)
+    assert 0.0 <= loaded.min() and loaded.max() <= 1.0
