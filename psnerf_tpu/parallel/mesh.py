@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
+LIGHT_AXIS = "lights"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -34,6 +35,16 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def make_mesh_2d(n_ray: int, n_light: int, devices=None) -> Mesh:
+    """2-D (rays x lights) mesh — both render axes are embarrassingly
+    parallel, so eval frames shard over BOTH: each device renders its
+    (ray-shard, light-shard) block (SURVEY.md §2.b/§5.8)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_ray * n_light]).reshape(n_ray, n_light)
+    return Mesh(devices, (RAY_AXIS, LIGHT_AXIS))
 
 
 def replicate(tree, mesh: Mesh):

@@ -14,7 +14,7 @@ from jax.sharding import PartitionSpec as P
 
 from psnerf_tpu.eval.frame import render_frame_stage2
 from psnerf_tpu.fields.psnet import PSNetConfig
-from psnerf_tpu.parallel.mesh import RAY_AXIS
+from psnerf_tpu.parallel.mesh import LIGHT_AXIS, RAY_AXIS
 
 
 def make_sharded_frame_renderer(
@@ -50,4 +50,36 @@ def make_sharded_frame_renderer(
         per_device, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
+    return jax.jit(fn)
+
+
+def make_sharded_frame_renderer_2d(
+    cfg: PSNetConfig,
+    mesh,
+    tile: int = 4096,
+    outputs: tuple = ("rgb",),
+    use_fused_vis: bool = False,
+):
+    """Shard BOTH render axes over a 2-D (rays x lights) mesh: each device
+    renders its pixel shard under its light shard. N % (ray_devices * tile)
+    == 0 and L % light_devices == 0. No collectives during rendering."""
+
+    def per_device(params, uv, pose, K, pts, nrm, msk, ld, li):
+        return render_frame_stage2(
+            params, cfg, uv, pose, K, pts, nrm, msk, ld, li,
+            tile=tile, outputs=outputs, use_fused_vis=use_fused_vis,
+        )
+
+    pix0 = P(RAY_AXIS)
+    rep = P()
+    lspec = P(LIGHT_AXIS)
+    in_specs = (rep, pix0, rep, rep, pix0, pix0, pix0, lspec, lspec)
+
+    def out_spec(name):
+        return (P(LIGHT_AXIS, RAY_AXIS)
+                if name in ("rgb", "rough", "visibility") else P(RAY_AXIS))
+
+    out_specs = {name: out_spec(name) for name in outputs}
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
     return jax.jit(fn)

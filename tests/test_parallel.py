@@ -82,3 +82,23 @@ def test_sharded_train_step_matches_single_device():
     l2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_frame_2d_rays_x_lights():
+    """4 ray-devices x 2 light-devices: the 2-D sharded render must match the
+    single-device frame."""
+    from psnerf_tpu.parallel.mesh import make_mesh_2d
+    from psnerf_tpu.parallel.sharded_render import make_sharded_frame_renderer_2d
+
+    mesh = make_mesh_2d(4, 2)
+    params, args = _frame_inputs(n=4 * 64, l=4)
+    single = render_frame_stage2(params, CFG, *args, tile=64,
+                                 outputs=("rgb", "visibility"))
+    render = make_sharded_frame_renderer_2d(CFG, mesh, tile=64,
+                                            outputs=("rgb", "visibility"))
+    with mesh:
+        sharded = render(replicate(params, mesh), *args)
+    np.testing.assert_allclose(np.asarray(sharded["rgb"]),
+                               np.asarray(single["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded["visibility"]),
+                               np.asarray(single["visibility"]), atol=1e-5)
