@@ -250,8 +250,17 @@ class Stage2Runner:
 
     def render_view(self, data, view: int, light_dirs, light_ints,
                     tile: int = 4096, outputs=("rgb", "albedo", "rough",
-                                               "visibility", "normal_pred")):
-        """All lights x all pixels of one view, single fused launch."""
+                                               "visibility", "normal_pred"),
+                    use_fused_vis: bool | None = None):
+        """All lights x all pixels of one view, single fused launch.
+
+        use_fused_vis: route the visibility MLP through the Pallas kernel
+        (auto: on TPU when the light count fits one kernel launch; larger
+        light sets — envmap relighting — are chunked by the caller)."""
+        if use_fused_vis is None:
+            use_fused_vis = (jax.default_backend() == "tpu"
+                             and self.cfg.net.visibility
+                             and len(light_dirs) <= 128)
         h, w = data["img_res"]
         n = h * w
         pad = (-n) % tile
@@ -278,12 +287,13 @@ class Stage2Runner:
         cache = getattr(self, "_frame_fns", None)
         if cache is None:
             cache = self._frame_fns = {}
-        key = (tile, outs)
+        key = (tile, outs, use_fused_vis)
         if key not in cache:
             cache[key] = jax.jit(
                 lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
                 render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk,
-                                    ld, li, tile=tile, outputs=outs)
+                                    ld, li, tile=tile, outputs=outs,
+                                    use_fused_vis=use_fused_vis)
             )
         out = cache[key](
             self.params["model"], padded(uv), data["poses"][view], data["K"],
@@ -387,9 +397,18 @@ class Stage2Runner:
                         vis_light_probe(envmap * envmap_scale, light_h * 8))
         for v, vi in enumerate(data["views"]):
             # per-light per-CHANNEL intensity = envmap texel (eval.py:202);
-            # sum over the light axis, clip, tonemap (eval.py:218-220)
-            r = self.render_view(data, v, dirs, texels, tile, outputs=("rgb",))
-            acc = np.clip(r["rgb"].sum(0), 0, 1)
+            # sum over the light axis, clip, tonemap (eval.py:218-220).
+            # lights are processed in <=128 chunks so the fused visibility
+            # kernel applies (512 envmap lights = 4 launches); partial sums
+            # accumulate on host, bounding memory
+            acc = 0.0
+            chunk = 128
+            for s in range(0, len(dirs), chunk):
+                r = self.render_view(data, v, dirs[s:s + chunk],
+                                     texels[s:s + chunk], tile,
+                                     outputs=("rgb",))
+                acc = acc + r["rgb"].sum(0)
+            acc = np.clip(acc, 0, 1)  # r["mask"] identical across chunks
             img = np.power(acc, 1.0 / gamma)
             mask = r["mask"][..., None]
             img = img * mask + (1 - mask)
