@@ -1,0 +1,24 @@
+PYTHONPATH := $(CURDIR):$(PYTHONPATH)
+export PYTHONPATH
+
+.PHONY: test test-fast bench demo multichip clean-native
+
+test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
+	python -m pytest tests/ -q
+
+test-fast:       ## everything except the end-to-end pipeline test
+	python -m pytest tests/ -q --ignore=tests/test_pipeline.py
+
+bench:           ## headline benchmark on the attached TPU chip (one JSON line)
+	python bench.py
+
+demo:            ## full two-stage pipeline on a synthetic scene (TPU, ~8 min)
+	python tools/tpu_pipeline_demo.py --workdir /tmp/psnerf_demo
+
+multichip:       ## validate the sharded train step on 8 virtual CPU devices
+	XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean-native:    ## force-rebuild the C++ mesh library
+	rm -f psnerf_tpu/mesh/csrc/libpsmesh.so

@@ -177,6 +177,9 @@ def bench_reference_style(cfg, params, args, light_chunk=64, px_chunk=1024,
 
 
 def main():
+    from psnerf_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg, params, args = setup()
     dt_fused, rgb = bench_fused(cfg, params, args)
     rays = H * W * N_LIGHTS
