@@ -90,12 +90,21 @@ class Stage1Runner:
                 self.it = int(scalars.get("it", 0))
                 print(f"resumed from {ck} at it={self.it}")
 
-        self._sample = jax.jit(
-            lambda view, key: sample_stage1_batch(
-                self.data, view, key, self.tcfg.n_training_points,
-                normal_angle=65.0,
+        # dataset arrays as jit arguments, not baked constants (see stage2)
+        self._device_data = {k: v for k, v in self.data.items()
+                             if isinstance(v, jnp.ndarray)}
+        static_data = {k: v for k, v in self.data.items()
+                       if not isinstance(v, jnp.ndarray)}
+
+        def _sample_impl(dd, view, key):
+            return sample_stage1_batch(
+                {**dd, **static_data}, view, key,
+                self.tcfg.n_training_points, normal_angle=65.0,
             )
-        )
+
+        self._sample_jit = jax.jit(_sample_impl)
+        self._sample = lambda view, key: self._sample_jit(
+            self._device_data, view, key)
         from psnerf_tpu.train.logging import MetricLogger
 
         self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
@@ -112,17 +121,25 @@ class Stage1Runner:
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int | None = None,
               ckpt_every: int | None = None, on_log=None,
-              wall_budget_s: float | None = None):
+              wall_budget_s: float | None = None,
+              vis_every: int | None = None):
         """wall_budget_s: checkpoint and stop cleanly when the wall-clock
         budget is exhausted (a WORKING version of the reference's dead
         --exit-after flag, stage1/train.py:26-28); resume picks up via the
-        rolling checkpoint."""
+        rolling checkpoint. vis_every: write the visualization strip on the
+        reference's visualize_every cadence (0 disables; default from cfg)."""
         cfg = self.cfg
         log_every = log_every or cfg.print_every
         ckpt_every = ckpt_every or cfg.checkpoint_every
+        if vis_every is None:
+            vis_every = cfg.visualize_every
         t_start = time.time()
         t0 = time.time()
         while self.it < max_iters:
+            if vis_every and self.it > 0 and self.it % vis_every == 0:
+                os.makedirs(os.path.join(self.workdir, "vis"), exist_ok=True)
+                self.render_visdata(os.path.join(
+                    self.workdir, "vis", f"it_{self.it}.png"))
             if wall_budget_s is not None and time.time() - t_start > wall_budget_s:
                 self.save(self.it)
                 print(f"[stage1] wall budget reached at it={self.it}; "

@@ -123,17 +123,26 @@ class Stage2Runner:
         if cfg.train_all_pixels:
             num_pixels = total
         self.num_pixels = min(num_pixels, total)
-        self._sample = jax.jit(
-            lambda view, key: sample_stage2_batch(
-                self.data, view, key, self.num_pixels, self.light_bs,
-                sample_in_mask=cfg.sample_in_mask,
+        # device-resident dataset arrays are passed as jit ARGUMENTS — closing
+        # over them would bake hundreds of MB of constants into the program
+        # (the remote compiler rejects the oversized HLO at 256^2 scale)
+        self._device_data = {k: v for k, v in self.data.items()
+                             if isinstance(v, jnp.ndarray)}
+        static_data = {k: v for k, v in self.data.items()
+                       if not isinstance(v, jnp.ndarray)}
+        use_vp = cfg.vis_plus and "vis_plus" in self.data
+
+        def _sample_impl(dd, init_dirs, view, key):
+            return sample_stage2_batch(
+                {**dd, **static_data}, view, key, self.num_pixels,
+                self.light_bs, sample_in_mask=cfg.sample_in_mask,
                 vis_train_num=cfg.vis_train_num,
-                light_init_dirs=(self.light_init_dirs
-                                 if (cfg.vis_plus and "vis_plus" in self.data)
-                                 else None),
-            ),
-            static_argnums=(0,),
-        )
+                light_init_dirs=init_dirs if use_vp else None,
+            )
+
+        self._sample_jit = jax.jit(_sample_impl, static_argnums=(2,))
+        self._sample = lambda view, key: self._sample_jit(
+            self._device_data, self.light_init_dirs, view, key)
 
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int = 100,

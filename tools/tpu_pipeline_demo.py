@@ -64,7 +64,7 @@ def main():
         checkpoint_every=2000, backup_every=100000,
     )
     t0 = time.time()
-    r1 = Stage1Runner(cfg1, os.path.join(wd, "stage1"), resume=False)
+    r1 = Stage1Runner(cfg1, os.path.join(wd, "stage1"), resume=True)
     r1.train(args.stage1_iters, log_every=200)
     summary["stage1_train_s"] = round(time.time() - t0, 1)
 
@@ -103,7 +103,7 @@ def main():
         train_all_pixels=False, ckpt_freq=100000,
     )
     t0 = time.time()
-    r2 = Stage2Runner(cfg2, os.path.join(wd, "stage2"), resume=False)
+    r2 = Stage2Runner(cfg2, os.path.join(wd, "stage2"), resume=True)
     r2.train(args.stage2_iters, log_every=200)
     summary["stage2_train_s"] = round(time.time() - t0, 1)
 
