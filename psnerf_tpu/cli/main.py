@@ -146,7 +146,7 @@ def main(argv=None):
         workdir = args.workdir or os.path.join("out2", cfg.obj_name, cfg.expname)
         runner = Stage2Runner(cfg, workdir)
         if cmd == "stage2-train":
-            runner.train(args.max_iters)
+            runner.train(args.max_iters, plot_every=cfg.plot_freq)
         else:
             out = args.out or os.path.join(workdir, "test_out")
             if args.render_envmap:
