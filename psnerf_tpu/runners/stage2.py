@@ -332,7 +332,8 @@ class Stage2Runner:
             off = self.data["light_row_offset"][local]
             ln = self.data["imgs"].shape[1]
             dirs = np.asarray(self.params["light_dirs"][off:off + ln])
-            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            # np.asarray of a jax array is read-only: no in-place ops
+            dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
             ints = np.asarray(self.params["light_ints"][off:off + ln, 0])
             return dirs, ints
         dirs = np.asarray(data["light_dirs"][view])
