@@ -61,7 +61,7 @@ def load_stage1_data(
 
     imgs = np.asarray(imgs, np.float32)
     masks = np.asarray(masks, np.float32)
-    norm_mask = np.asarray(norm_masks, np.float32) > 0.5
+    norm_mask = np.asarray(norm_masks, np.float32) > 0  # any-nonzero, as the reference
     if mask_black and normal_loss:
         norm_mask &= ~(imgs < 0.1).all(-1)
     if white_background:

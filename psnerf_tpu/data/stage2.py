@@ -52,7 +52,8 @@ def load_stage2_data(
             g = np.load(gt_path)
             if not scene.gt_normal_world:
                 g = np.einsum("ij,hwj->hwi", scene.pose_gl[vi, :3, :3], g)
-            gt_normals.append(g * (mask[..., None] > 0.5))
+            # reference bool-izes masks as "any nonzero" (dataset.py:107)
+            gt_normals.append(g * (mask[..., None] > 0))
         else:
             gt_normals.append(np.zeros((h, w, 3), np.float32))
         points.append(np.load(os.path.join(stage1_shape_path, "points", f"view_{vi + 1:02d}.npy")))
@@ -63,7 +64,7 @@ def load_stage2_data(
         for li in light_slt[v0]:
             img = load_image(os.path.join(
                 scene.basedir, im_sub, f"view_{vi + 1:02d}", f"{li + 1:03d}.png"))
-            img_v.append(img.reshape(-1, 3) * (mask.reshape(-1, 1) > 0.5))
+            img_v.append(img.reshape(-1, 3) * (mask.reshape(-1, 1) > 0))
         imgs.append(np.asarray(img_v, np.float32))
         if vis_loss:
             vv = np.load(os.path.join(
@@ -74,7 +75,7 @@ def load_stage2_data(
     v = len(views)
     out = {
         "imgs": jnp.asarray(np.asarray(imgs)),
-        "object_masks": jnp.asarray(masks.reshape(v, -1) > 0.5),
+        "object_masks": jnp.asarray(masks.reshape(v, -1) > 0),
         "gt_normal": jnp.asarray(np.asarray(gt_normals, np.float32).reshape(v, -1, 3)),
         "points": jnp.asarray(np.asarray(points, np.float32).reshape(v, -1, 3)),
         "normals": jnp.asarray(np.asarray(normals, np.float32).reshape(v, -1, 3)),
