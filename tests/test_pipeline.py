@@ -66,9 +66,14 @@ def trained_stage1(stage1_cfg, tmp_path_factory):
     return runner
 
 
-def test_stage1_learns_sphere(trained_stage1):
+def test_stage1_learns_sphere(trained_stage1, tmp_path_factory):
     r = trained_stage1.render_view(0, tile=1024)
-    from psnerf_tpu.data.stage1 import load_stage1_data
+
+    # visualization strip through the runner (gt|render|normal|...|phong)
+    strip_path = str(tmp_path_factory.mktemp("vis") / "strip.png")
+    strip = trained_stage1.render_visdata(strip_path, views=(0,), tile=1024)
+    assert os.path.exists(strip_path)
+    assert strip.shape[1] == strip.shape[0] * 8  # 8 panels
 
     gt_mask = np.asarray(trained_stage1.data["masks"][0]) > 0.5
     pred = r["mask"]
