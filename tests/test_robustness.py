@@ -1,0 +1,92 @@
+"""Failure-handling and override paths: wall-budget checkpoint/resume cycle,
+NaN halt, custom occupancy override through the renderers."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psnerf_tpu.config import Stage1Config
+from psnerf_tpu.fields.occupancy import OccFieldConfig
+from psnerf_tpu.render.unisurf import UnisurfConfig
+from psnerf_tpu.train.losses import Stage1LossWeights
+from psnerf_tpu.train.stage1 import Stage1TrainConfig
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from psnerf_tpu.data.synthetic import generate_synthetic_scene
+
+    d = str(tmp_path_factory.mktemp("robust_scene"))
+    generate_synthetic_scene(d, n_views=2, n_test=0, n_lights=3, hw=(24, 24))
+    return d
+
+
+def _cfg(scene_dir):
+    return Stage1Config(
+        field=OccFieldConfig(num_layers=4, hidden_dim=32, feat_size=32,
+                             octaves_pe=2, octaves_pe_views=2, skips=(2,)),
+        render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                             interval_start=0.6, interval_end=0.05,
+                             interval_decay=1e-3, num_points_in=8,
+                             num_points_out=4, ray_marching_steps=16),
+        train=Stage1TrainConfig(learning_rate=1e-3, milestone_iters=(),
+                                n_training_points=64,
+                                normal_after=0,
+                                weights=Stage1LossWeights()),
+        data_dir=scene_dir, inten_normalize=None,
+        checkpoint_every=10, backup_every=100000, visualize_every=0,
+    )
+
+
+def test_wall_budget_checkpoint_and_resume(scene_dir, tmp_path):
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+
+    wd = str(tmp_path / "wd")
+    r = Stage1Runner(_cfg(scene_dir), wd, resume=False)
+    r.train(10_000, log_every=1000, ckpt_every=1000, wall_budget_s=0.0)
+    # budget 0: checkpointed immediately at it=0 and stopped
+    assert r.it == 0
+    assert os.path.exists(os.path.join(wd, "checkpoints", "model.npz"))
+
+    r.train(5, log_every=1000, ckpt_every=1000)  # a real few steps + ckpt
+    assert r.it == 5
+
+    r2 = Stage1Runner(_cfg(scene_dir), wd, resume=True)
+    assert r2.it == 5  # resumed from the rolling checkpoint
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(r2.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(r.params)[0]), atol=1e-7)
+
+
+def test_nan_guard_halts(scene_dir, tmp_path):
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+
+    r = Stage1Runner(_cfg(scene_dir), str(tmp_path / "wd2"), resume=False)
+    # poison the params: training must halt loudly, not march on
+    r.params["geo"][0]["g"] = r.params["geo"][0]["g"] * jnp.nan
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        r.train(2, log_every=1)
+
+
+def test_occ_fn_override_is_used(scene_dir):
+    """render_shape_extract must march the OVERRIDE field, not the params."""
+    from psnerf_tpu.fields.occupancy import init_occupancy_field
+    from psnerf_tpu.render.unisurf import render_shape_extract
+
+    cfg = _cfg(scene_dir)
+    params = init_occupancy_field(jax.random.PRNGKey(0), cfg.field)
+    k = jnp.asarray([[50.0, 0, 12, 0], [0, 50.0, 12, 0],
+                     [0, 0, 1, 0], [0, 0, 0, 1.0]])
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -3.0]))
+    pix = jnp.asarray([[12.0, 12.0], [11.0, 13.0]])
+
+    # analytic override: a LARGE sphere (r=0.9) regardless of the tiny field
+    occ = lambda p: jax.nn.sigmoid(-40 * (jnp.linalg.norm(p, axis=-1) - 0.9))
+    out = render_shape_extract(params, cfg.field, cfg.render, pix, k, pose,
+                               n_steps=64, occ_fn=occ)
+    assert bool(out["mask"].all())
+    radii = np.linalg.norm(np.asarray(out["points"]), axis=-1)
+    np.testing.assert_allclose(radii, 0.9, atol=0.02)
