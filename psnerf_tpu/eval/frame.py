@@ -53,8 +53,9 @@ def render_frame_stage2(
 
         point_emb = nerf_embed(points, cfg.n_freqs_xyz)
         light_emb = nerf_embed(light_dirs, cfg.n_freqs_xyz)
+        k_tile = 1024 if n % 1024 == 0 else 256
         vis_pre = fused_visibility(
-            params["visibility"], point_emb, light_emb
+            params["visibility"], point_emb, light_emb, tile=k_tile
         )[..., None]  # [L, N, 1]
 
     def render_tile(args):

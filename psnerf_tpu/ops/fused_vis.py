@@ -83,7 +83,7 @@ def fused_visibility(
     layers: list,
     point_emb: jnp.ndarray,   # [N, E] PE(x)
     light_emb: jnp.ndarray,   # [L, E] PE(l)
-    tile: int = 256,
+    tile: int = 1024,          # sweep on v5e: 1024 > 256 by ~7%
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns raw vis outputs [L, N] (pre-clip). Requires the reference
