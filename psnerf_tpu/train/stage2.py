@@ -125,6 +125,11 @@ def make_stage2_train_step(cfg: PSNetConfig, tcfg: Stage2TrainConfig):
         model_gate["rough"] = jax.tree_util.tree_map(
             lambda p: live, params["model"]["rough"]
         )
+        if "normal" in params["model"] and not cfg.normal_joint:
+            # normal_mlp without normal_joint: frozen net (renderer.py:98-100)
+            model_gate["normal"] = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(()), params["model"]["normal"]
+            )
         n_rows = params["light_dirs"].shape[0]
         row = row_mask_from_indices(n_rows, l_slt)
         light_live = live * float(not tcfg.ana_fixlight)

@@ -190,3 +190,21 @@ def test_light_direction_error():
     b = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
     err = float(light_direction_error_deg(a, b))
     np.testing.assert_allclose(err, 45.0, atol=1e-4)
+
+
+def test_stage2_normal_frozen_when_not_joint():
+    """normal_mlp without normal_joint: the normal net must not move
+    (renderer.py:98-100 freezes it in the reference)."""
+    cfg = PSNetConfig(mlp_width=32, sg_mlp_width=16, normal_mlp_width=32,
+                      visibility=False, normal_mlp=True, normal_joint=False)
+    tcfg = Stage2TrainConfig(milestone_iters=(), train_order=False)
+    params, opt_state, step = _stage2_setup(tcfg, cfg)
+    batch = dict(_stage2_batch())
+    del batch["visibility"], batch["light_vis_train"], batch["vis_train_gt"]
+    n0 = np.asarray(jax.tree_util.tree_leaves(params["model"]["normal"])[0])
+    a0 = np.asarray(jax.tree_util.tree_leaves(params["model"]["albedo"])[0])
+    p1, _, _ = step(params, opt_state, batch, 10.0, jax.random.PRNGKey(0))
+    n1 = np.asarray(jax.tree_util.tree_leaves(p1["model"]["normal"])[0])
+    a1 = np.asarray(jax.tree_util.tree_leaves(p1["model"]["albedo"])[0])
+    np.testing.assert_array_equal(n1, n0)   # frozen
+    assert np.abs(a1 - a0).max() > 0        # albedo still trains
