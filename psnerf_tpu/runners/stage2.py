@@ -387,6 +387,16 @@ class Stage2Runner:
                         r["rgb"].astype(np.float32))
                 np.save(os.path.join(out_dir, "mask", "npy", name + ".npy"),
                         mask.astype(bool))
+                np.save(os.path.join(out_dir, "albedo", "npy", name + ".npy"),
+                        r["albedo"].astype(np.float32))
+                if "rough" in r:
+                    np.save(os.path.join(out_dir, "rough", "npy",
+                                         name + ".npy"),
+                            r["rough"].astype(np.float32))
+                if "visibility" in r:
+                    np.save(os.path.join(out_dir, "visibility", "npy",
+                                         name + ".npy"),
+                            r["visibility"][..., 0].astype(np.float32))
 
     def render_envmap(self, out_dir: str, envmap: np.ndarray,
                       split: str = "test", light_h: int = 16,
