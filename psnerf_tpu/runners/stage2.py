@@ -203,10 +203,15 @@ class Stage2Runner:
                 self.save(self.it)
         return self
 
-    def save(self, it: int):
+    def save(self, it: int, backup_every_n_ckpts: int = 10):
+        """Rolling latest + sparse numbered backups (the reference keeps a
+        pruned history of numbered checkpoints, trainer.py:466-481)."""
         tree = {"params": self.params, "opt": self.opt_state}
         save_checkpoint(os.path.join(self.ckpt_dir, "model.npz"), tree,
                         {"it": it})
+        if it > 0 and it % (self.cfg.ckpt_freq * backup_every_n_ckpts) == 0:
+            save_checkpoint(os.path.join(self.ckpt_dir, f"model_{it}.npz"),
+                            tree, {"it": it})
 
     def plot_to_disk(self, out_path: str, train_view: int = 0,
                      light: int = 0, tile: int = 4096):

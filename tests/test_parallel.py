@@ -102,3 +102,36 @@ def test_sharded_frame_2d_rays_x_lights():
                                np.asarray(single["rgb"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded["visibility"]),
                                np.asarray(single["visibility"]), atol=1e-5)
+
+
+def test_sharded_stage1_train_step_matches_single_device():
+    from psnerf_tpu.fields import OccFieldConfig, init_occupancy_field
+    from psnerf_tpu.parallel import shard_stage1_batch
+    from psnerf_tpu.render import UnisurfConfig
+    from psnerf_tpu.train import Stage1TrainConfig, make_stage1_train_step
+    from tests.test_train import _stage1_batch
+
+    fcfg = OccFieldConfig(num_layers=4, hidden_dim=64, feat_size=64,
+                          octaves_pe=4, octaves_pe_views=2)
+    rcfg = UnisurfConfig(near=1.0, far=5.0, radius=2.0, num_points_in=8,
+                         num_points_out=4, ray_marching_steps=32)
+    tcfg = Stage1TrainConfig(n_training_points=64, milestone_iters=())
+    params = init_occupancy_field(jax.random.PRNGKey(0), fcfg)
+    init_opt, step = make_stage1_train_step(fcfg, rcfg, tcfg)
+    opt = init_opt(params)
+    batch = _stage1_batch(n=64)
+
+    p1, o1, t1 = step(params, opt, batch, 6000.0, jax.random.PRNGKey(0),
+                      use_outside=True)
+
+    mesh = make_mesh(8)
+    with mesh:
+        pr = replicate(params, mesh)
+        orr = replicate(opt, mesh)
+        sb = shard_stage1_batch(batch, mesh)
+        p2, o2, t2 = step(pr, orr, sb, 6000.0, jax.random.PRNGKey(0),
+                          use_outside=True)
+    np.testing.assert_allclose(float(t1["loss"]), float(t2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
