@@ -21,7 +21,7 @@ import jax.numpy as jnp
 H = W = 512
 N_LIGHTS = 96
 TILE = 4096
-REPS = 3
+REPS = 5
 
 
 def setup():
@@ -66,11 +66,14 @@ def bench_fused(cfg, params, args):
                                  use_fused_vis=True)
     out = render(params, *args)  # compile
     _sync(out["rgb"])
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         out = render(params, *args)
         _sync(out["rgb"])
-    dt = (time.perf_counter() - t0) / REPS
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]  # median: tunnel latency is heavy-tailed
     return dt, out["rgb"]
 
 
