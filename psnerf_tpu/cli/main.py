@@ -55,6 +55,9 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--resolution0", type=int, default=None)
     p.add_argument("--upsampling", type=int, default=None)
+    p.add_argument("--mask_carve", action="store_true",
+                   help="carve by dilated multi-view silhouettes")
+    p.add_argument("--clip_bottom", type=float, default=None)
 
     p = sub.add_parser("stage2-train")
     p.add_argument("--conf", required=True)
@@ -135,7 +138,8 @@ def main(argv=None):
         else:
             out = args.out or os.path.join(workdir, "mesh.ply")
             verts, tris = runner.extract_mesh_to(
-                out, args.resolution0, args.upsampling)
+                out, args.resolution0, args.upsampling,
+                mask_carve=args.mask_carve, clip_bottom=args.clip_bottom)
             print(f"mesh: {len(verts)} verts, {len(tris)} tris -> {out}")
 
     elif cmd in ("stage2-train", "stage2-eval"):

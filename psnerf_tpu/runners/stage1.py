@@ -403,13 +403,35 @@ class Stage1Runner:
 
     # ------------------------------------------------------------ mesh export
     def extract_mesh_to(self, path: str, resolution0: int | None = None,
-                        upsampling: int | None = None):
+                        upsampling: int | None = None,
+                        mask_carve: bool = False,
+                        clip_bottom: float | None = None,
+                        dilate_radius: int = 12):
+        """mask_carve: carve the occupancy grid by the training views'
+        dilated silhouettes before marching (extracting.py:120-126);
+        clip_bottom: drop everything below this world z (extracting.py:130-132).
+        """
         value_fn = make_field_value_fn(self.params, self.cfg.field)
+        carver = None
+        if mask_carve:
+            from psnerf_tpu.mesh.refine import make_mask_carver
+
+            # projection uses K @ w2c in the reference's [-1,1] convention
+            w2c = np.stack([np.linalg.inv(np.asarray(p))
+                            for p in self.data["poses"]])
+            carver = make_mask_carver(
+                np.asarray(self.data["masks"]), 
+                np.broadcast_to(np.asarray(self.data["K"]),
+                                (self.n_views, 4, 4)),
+                w2c, dilate_radius=dilate_radius,
+            )
         verts, tris = extract_mesh(
             value_fn,
             resolution0=resolution0 or self.cfg.extraction_resolution,
             upsampling_steps=(upsampling if upsampling is not None
                               else self.cfg.extraction_upsampling),
+            mask_carve=carver,
+            clip_bottom=clip_bottom,
         )
         if path.endswith(".obj"):
             save_obj(path, verts, tris)

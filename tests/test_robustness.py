@@ -90,3 +90,17 @@ def test_occ_fn_override_is_used(scene_dir):
     assert bool(out["mask"].all())
     radii = np.linalg.norm(np.asarray(out["points"]), axis=-1)
     np.testing.assert_allclose(radii, 0.9, atol=0.02)
+
+
+def test_extract_mesh_with_carving_and_clip(scene_dir, tmp_path):
+    """Silhouette carving + bottom clip through the runner path."""
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+
+    r = Stage1Runner(_cfg(scene_dir), str(tmp_path / "wd3"), resume=False)
+    path = str(tmp_path / "m.ply")
+    v, t = r.extract_mesh_to(path, resolution0=12, upsampling=1,
+                             mask_carve=True, clip_bottom=-0.4,
+                             dilate_radius=3)
+    assert len(v) > 0 and os.path.exists(path)
+    # bottom clip honored (marching interpolates at most one cell below)
+    assert v[:, 2].min() >= -0.4 - 0.2
