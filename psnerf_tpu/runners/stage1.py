@@ -433,6 +433,15 @@ class Stage1Runner:
             mask_carve=carver,
             clip_bottom=clip_bottom,
         )
+        if self.cfg.extraction_refinement > 0 and len(verts):
+            # RMSprop vertex refinement against the occupancy iso-level
+            # (extracting.py:237-323)
+            from psnerf_tpu.fields.occupancy import occ_alpha
+            from psnerf_tpu.mesh.refine import refine_mesh
+
+            occ_fn = lambda p: occ_alpha(self.params, p, self.cfg.field)
+            verts = refine_mesh(occ_fn, verts, tris,
+                                steps=self.cfg.extraction_refinement)
         if path.endswith(".obj"):
             save_obj(path, verts, tris)
         else:
