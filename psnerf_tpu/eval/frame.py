@@ -68,7 +68,12 @@ def render_frame_stage2(
             params, cfg, pts, nrm, msk, rays, light_dirs, light_ints,
             key=None, vis_precomputed=vp,
         )
-        return {k: out[k] for k in outputs}
+        res = {k: out[k] for k in outputs if k != "rgb_sum"}
+        if "rgb_sum" in outputs:
+            # on-device reduction over the light axis (envmap relighting
+            # integrates anyway; avoids shipping [L, N, 3] off-device)
+            res["rgb_sum"] = out["rgb"].sum(axis=0)
+        return res
 
     tiles = (
         points.reshape(-1, tile, 3),

@@ -255,12 +255,17 @@ class Stage2Runner:
     def _eval_data(self, split: str):
         if split == "train":
             return self.data
-        return load_stage2_data(
-            self.scene, self.cfg.stage1_shape_path, split,
-            self.cfg.inten_normalize, self.cfg.train_view,
-            self.cfg.train_light, self.cfg.all_view,
-            vis_loss=False, vis_plus=False,
-        )
+        cache = getattr(self, "_eval_data_cache", None)
+        if cache is None:
+            cache = self._eval_data_cache = {}
+        if split not in cache:
+            cache[split] = load_stage2_data(
+                self.scene, self.cfg.stage1_shape_path, split,
+                self.cfg.inten_normalize, self.cfg.train_view,
+                self.cfg.train_light, self.cfg.all_view,
+                vis_loss=False, vis_plus=False,
+            )
+        return cache[split]
 
     def render_view(self, data, view: int, light_dirs, light_ints,
                     tile: int = 4096, outputs=("rgb", "albedo", "rough",
@@ -282,15 +287,17 @@ class Stage2Runner:
         uv = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
 
         def padded(x, fill=0.0):
-            x = np.asarray(x)
+            # stays on device: np.asarray here would round-trip the arrays
+            # through the host (catastrophic over a tunneled backend)
+            x = jnp.asarray(x)
             if pad == 0:
-                return jnp.asarray(x)
-            shape = (pad,) + x.shape[1:]
-            return jnp.asarray(
-                np.concatenate([x, np.full(shape, fill, x.dtype)]))
+                return x
+            widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
 
         cfg = self.cfg.net
-        avail = {"rgb", "albedo", "rough", "sg_weight", "visibility"}
+        avail = {"rgb", "rgb_sum", "albedo", "rough", "sg_weight",
+                 "visibility"}
         if cfg.normal_mlp:
             avail.add("normal_pred")
         if not cfg.visibility:
@@ -431,8 +438,8 @@ class Stage2Runner:
             for s in range(0, len(dirs), chunk):
                 r = self.render_view(data, v, dirs[s:s + chunk],
                                      texels[s:s + chunk], tile,
-                                     outputs=("rgb",))
-                acc = acc + r["rgb"].sum(0)
+                                     outputs=("rgb_sum",))
+                acc = acc + r["rgb_sum"]
             acc = np.clip(acc, 0, 1)  # r["mask"] identical across chunks
             img = np.power(acc, 1.0 / gamma)
             mask = r["mask"][..., None]
