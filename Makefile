@@ -16,9 +16,7 @@ demo:            ## full two-stage pipeline on a synthetic scene (TPU, ~8 min)
 	python tools/tpu_pipeline_demo.py --workdir /tmp/psnerf_demo
 
 multichip:       ## validate the sharded train step on 8 virtual CPU devices
-	XLA_FLAGS="--xla_force_host_platform_device_count=8" \
-	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
-	import __graft_entry__ as g; g.dryrun_multichip(8)"
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 clean-native:    ## force-rebuild the C++ mesh library
 	rm -f psnerf_tpu/mesh/csrc/libpsmesh.so
