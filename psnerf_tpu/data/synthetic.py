@@ -2,8 +2,17 @@
 (README.md:172-220): params.json, img/<view>/<light>.png, mask/, norm_mask/,
 normal/npy/, sdps_out*/ (outnpy normals + light preds), img*/avg*/ averages.
 
-Scene: a Lambertian+specular sphere of radius R at the origin, ray-traced
-analytically. Used by tests and pipeline smoke-runs — no external downloads.
+Scenes are unions of spheres, ray-traced analytically:
+  * default: one Lambertian+specular sphere at the origin (convex — only
+    attached shadows, vis = l.n >= 0);
+  * `spheres=SNOWMAN_SPHERES` (or any list of (center, radius)): a NON-convex
+    union with analytic CAST shadows — the signature effect of the pipeline
+    (stage1/model/rendering.py:378-408 visibility marching; stage-2 visibility
+    supervision, stage2/trainer.py:384-392). Shadow rays are intersected
+    against every sphere in closed form, so images, per-view visibility
+    exports, and vis_plus all carry exact shadowed ground truth.
+
+Used by tests and pipeline smoke-runs — no external downloads.
 """
 
 from __future__ import annotations
@@ -13,6 +22,13 @@ import os
 
 import imageio.v2 as imageio
 import numpy as np
+
+# A non-convex two-sphere "snowman": the top sphere casts shadows onto the
+# bottom one (and vice versa) for the camera-biased light rig below.
+SNOWMAN_SPHERES = (
+    ((0.0, 0.0, -0.30), 0.50),
+    ((0.2, -0.2, 0.45), 0.35),
+)
 
 
 def _look_at(eye: np.ndarray) -> np.ndarray:
@@ -33,9 +49,30 @@ def _look_at(eye: np.ndarray) -> np.ndarray:
     return pose
 
 
-def _trace_sphere(pose_cv, K, hw, radius):
-    """Ray-trace the sphere: returns (hit mask [H,W], points [H,W,3],
-    normals_world [H,W,3], depth)."""
+def _normalize_spheres(spheres, radius):
+    if spheres is None:
+        spheres = (((0.0, 0.0, 0.0), radius),)
+    return [(np.asarray(c, np.float64), float(r)) for c, r in spheres]
+
+
+def _intersect_sphere(o, d, center, radius):
+    """First positive hit depth of rays (o[...,3], d[...,3] unit) with one
+    sphere; +inf where missed. Broadcasts o against d."""
+    oc = o - center
+    b = np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - radius**2
+    disc = b**2 - c
+    hit = disc > 0
+    sq = np.sqrt(np.maximum(disc, 0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = np.where(t0 > 1e-6, t0, np.where(t1 > 1e-6, t1, np.inf))
+    return np.where(hit, t, np.inf)
+
+
+def _trace_spheres(pose_cv, K, hw, spheres):
+    """Ray-trace the sphere union: returns (hit mask [H,W], points [H,W,3],
+    normals_world [H,W,3], view ray dirs [H,W,3], sphere id [H,W] int)."""
     h, w = hw
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -43,15 +80,45 @@ def _trace_sphere(pose_cv, K, hw, radius):
     d_world = np.einsum("ij,hwj->hwi", pose_cv[:3, :3], d_cam)
     d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True)
     o = pose_cv[:3, 3]
-    b = np.einsum("hwi,i->hw", d_world, o)
-    c = o @ o - radius**2
-    disc = b**2 - c
-    hit = disc > 0
-    t = -b - np.sqrt(np.maximum(disc, 0))
-    hit &= t > 0
-    pts = o[None, None] + d_world * t[..., None]
-    nrm = pts / radius
-    return hit, pts, nrm, d_world
+
+    t_best = np.full((h, w), np.inf)
+    sid = np.full((h, w), -1, dtype=np.int32)
+    for i, (c, r) in enumerate(spheres):
+        t = _intersect_sphere(o[None, None], d_world, c, r)
+        closer = t < t_best
+        t_best = np.where(closer, t, t_best)
+        sid = np.where(closer, i, sid)
+
+    hit = np.isfinite(t_best)
+    t_safe = np.where(hit, t_best, 0.0)
+    pts = o[None, None] + d_world * t_safe[..., None]
+    nrm = np.zeros_like(pts)
+    for i, (c, r) in enumerate(spheres):
+        on_i = (sid == i)[..., None]
+        nrm = np.where(on_i, (pts - c) / r, nrm)
+    return hit, pts, nrm, d_world, sid
+
+
+def analytic_visibility(pts, nrm, sid, light_dirs, spheres, eps=1e-4):
+    """Exact shadowed visibility of surface points toward directional lights.
+
+    pts/nrm: [..., 3] surface points and outward unit normals; sid: [...]
+    index of the sphere each point lies on; light_dirs: [L, 3] unit dirs
+    (surface -> light). Returns [L, ...] float in {0, 1}:
+      1  iff  l . n >= 0  AND the shadow ray hits no OTHER sphere.
+    (A ray leaving its own sphere with l . n >= 0 cannot re-enter it, so the
+    own-sphere test reduces to the attached-shadow dot product.)
+    """
+    light_dirs = np.asarray(light_dirs, np.float64)
+    vis = np.einsum("li,...i->l...", light_dirs, nrm) >= 0.0
+    origin = pts + nrm * eps
+    for i, (c, r) in enumerate(spheres):
+        t = np.stack(
+            [_intersect_sphere(origin, np.broadcast_to(ld, origin.shape), c, r)
+             for ld in light_dirs], axis=0)  # [L, ...]
+        occluded = np.isfinite(t) & (sid != i)[None]
+        vis &= ~occluded
+    return vis.astype(np.float32)
 
 
 def generate_synthetic_scene(
@@ -66,11 +133,21 @@ def generate_synthetic_scene(
     light_int: float = 1.2,
     seed: int = 0,
     specular: float = 0.3,
+    spheres=None,
+    light_spread: float = 0.35,
 ) -> dict:
-    """Writes the dataset; returns the params dict."""
+    """Writes the dataset; returns the params dict.
+
+    spheres: optional list of ((cx, cy, cz), r) — a non-convex union with
+    analytic cast shadows (e.g. SNOWMAN_SPHERES). Default: one sphere of
+    `radius` at the origin (the original convex scene).
+    light_spread: std of the camera-frame light scatter around the optical
+    axis; raise it (~0.9) on non-convex scenes so oblique lights cast
+    camera-visible shadows."""
     rng = np.random.default_rng(seed)
     h, w = hw
     total = n_views + n_test
+    spheres = _normalize_spheres(spheres, radius)
     K = np.asarray(
         [[focal, 0, w / 2, 0], [0, focal, h / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
         np.float32,
@@ -91,7 +168,8 @@ def generate_synthetic_scene(
     # pointing from surface toward the light, biased toward the camera (-z in
     # OpenGL camera coords means "behind the camera" is +z... lights roughly
     # along the optical axis with offsets)
-    lights_cam = rng.normal(size=(n_lights, 3)) * 0.35 + np.asarray([0, 0, 1.0])
+    lights_cam = (rng.normal(size=(n_lights, 3)) * light_spread
+                  + np.asarray([0, 0, 1.0]))
     lights_cam /= np.linalg.norm(lights_cam, axis=-1, keepdims=True)
 
     params = {
@@ -104,7 +182,10 @@ def generate_synthetic_scene(
         "light_is_same": True,
         "light_direction": lights_cam.tolist(),
         "gt_normal_world": False,
-        "obj_name": "synth_sphere",
+        "obj_name": "synth_sphere" if len(spheres) == 1 else "synth_snowman",
+        # scene spec for write_stage1_exports / tests (not part of the
+        # reference contract; readers must tolerate extra keys)
+        "synthetic_spheres": [[*map(float, c), r] for c, r in spheres],
     }
 
     os.makedirs(outdir, exist_ok=True)
@@ -122,7 +203,7 @@ def generate_synthetic_scene(
         pose_gl = poses_gl[vi]
         pose_cv = pose_gl.copy()
         pose_cv[:3, 1:3] *= -1.0
-        hit, pts, nrm, view_dir = _trace_sphere(pose_cv, K, hw, radius)
+        hit, pts, nrm, view_dir, sid = _trace_spheres(pose_cv, K, hw, spheres)
 
         imageio.imwrite(os.path.join(outdir, "mask", f"view_{vi + 1:02d}.png"),
                         to8(hit.astype(np.float64)))
@@ -137,7 +218,7 @@ def generate_synthetic_scene(
         np.save(os.path.join(outdir, sdps, "outnpy", f"view_{vi + 1:02d}.npy"),
                 (n_cam * hit[..., None]).astype(np.float32))
 
-        # albedo pattern on the sphere
+        # albedo pattern on the surface
         albedo = 0.45 + 0.25 * np.stack(
             [np.sin(4 * pts[..., 0]), np.cos(4 * pts[..., 1]),
              np.sin(4 * pts[..., 2])], -1)
@@ -148,13 +229,15 @@ def generate_synthetic_scene(
         os.makedirs(avg_dir, exist_ok=True)
         acc = np.zeros((h, w, 3))
         l_world = np.einsum("ij,kj->ki", pose_gl[:3, :3], lights_cam)
+        vis_all = analytic_visibility(pts, nrm, sid, l_world, spheres)  # [L,H,W]
         for li in range(n_lights):
             cos = np.maximum(np.einsum("hwi,i->hw", nrm, l_world[li]), 0.0)
             half = l_world[li][None, None] - view_dir
             half /= np.maximum(np.linalg.norm(half, axis=-1, keepdims=True), 1e-9)
             spec = specular * np.maximum(
                 np.einsum("hwi,hwi->hw", half, nrm), 0.0) ** 32
-            rgb = (albedo + spec[..., None]) * light_int * cos[..., None]
+            shade = (cos * vis_all[li])[..., None]
+            rgb = (albedo + spec[..., None]) * light_int * shade
             rgb = np.clip(rgb, 0, 1) * hit[..., None]
             imageio.imwrite(os.path.join(img_dir, f"{li + 1:03d}.png"), to8(rgb))
             acc += rgb
@@ -179,8 +262,9 @@ def write_stage1_exports(
     (points/normal/mask/visibility/vis_plus per view; the contract of
     stage1/shape_extract.py:148-163) so stage-2 can run standalone.
 
-    Visibility uses the convex-body closed form: a surface point sees a
-    light direction iff l . n >= 0.
+    Visibility is the exact shadowed form (attached + cast shadows against
+    every sphere of the scene; see analytic_visibility). For the default
+    single-sphere scene it reduces to the convex closed form l . n >= 0.
     """
     rng = np.random.default_rng(seed)
     with open(os.path.join(scene_dir, "params.json")) as f:
@@ -189,7 +273,10 @@ def write_stage1_exports(
     poses_gl = np.asarray(params["pose_c2w"], np.float32)
     h, w = params["imhw"]
     lights_cam = np.asarray(params["light_direction"], np.float32)
-    radius = 0.6
+    spheres = _normalize_spheres(
+        [(s[:3], s[3]) for s in params.get("synthetic_spheres", [])] or None,
+        0.6,
+    )
 
     for sub in ["points", "normal", "mask", "visibility", "vis_plus"]:
         os.makedirs(os.path.join(export_dir, sub), exist_ok=True)
@@ -199,7 +286,7 @@ def write_stage1_exports(
         pose_gl = poses_gl[vi]
         pose_cv = pose_gl.copy()
         pose_cv[:3, 1:3] *= -1.0
-        hit, pts, nrm, _ = _trace_sphere(pose_cv, K, (h, w), radius)
+        hit, pts, nrm, _, sid = _trace_spheres(pose_cv, K, (h, w), spheres)
         pts_flat = (pts * hit[..., None]).reshape(-1, 3).astype(np.float32)
         nrm_flat = (nrm * hit[..., None]).reshape(-1, 3).astype(np.float32)
         np.save(os.path.join(export_dir, "points", f"view_{vi + 1:02d}.npy"), pts_flat)
@@ -207,13 +294,20 @@ def write_stage1_exports(
         np.save(os.path.join(export_dir, "mask", f"view_{vi + 1:02d}.npy"),
                 hit.reshape(-1))
         l_world = np.einsum("ij,kj->ki", pose_gl[:3, :3], lights_cam)
-        vis = (np.einsum("ki,ni->kn", l_world, nrm_flat) >= 0).astype(np.float32)
+        hit_flat = hit.reshape(-1)
+        vis = analytic_visibility(pts, nrm, sid, l_world, spheres)
+        # ones outside the mask (the renderer's fill convention,
+        # render_shape_extract / rendering.py:376)
+        vis = np.where(hit_flat[None], vis.reshape(len(l_world), -1), 1.0)
+        vis = vis.astype(np.float32)
         np.save(os.path.join(export_dir, "visibility", f"view_{vi + 1:02d}.npy"), vis)
 
         vp = rng.normal(size=(n_vis_plus, 3))
         vp /= np.linalg.norm(vp, axis=-1, keepdims=True)
         vp_json[f"view_{vi + 1:02d}"] = vp.tolist()
-        vis_p = (np.einsum("ki,ni->kn", vp, nrm_flat) >= 0).astype(np.float32)
+        vis_p = analytic_visibility(pts, nrm, sid, vp, spheres)
+        vis_p = np.where(hit_flat[None], vis_p.reshape(n_vis_plus, -1), 1.0)
+        vis_p = vis_p.astype(np.float32)
         np.save(os.path.join(export_dir, "vis_plus", f"view_{vi + 1:02d}.npy"), vis_p)
 
     with open(os.path.join(export_dir, "vis_plus", "light_dir.json"), "w") as f:
