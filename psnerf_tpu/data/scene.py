@@ -45,7 +45,9 @@ class SceneParams:
         if split == "all":
             tr = (np.array(p[f"view_slt_{train_view}"]) if train_view is not None
                   else np.array(p["view_train"]))
-            out = np.concatenate([tr, np.array(p["view_test"])])
+            # astype: an empty test list would otherwise upcast to float64
+            out = np.concatenate(
+                [tr, np.array(p["view_test"])]).astype(np.int64)
             out.sort()
             return out
         raise ValueError(f"unknown split {split!r}")

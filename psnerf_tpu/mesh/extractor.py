@@ -93,17 +93,31 @@ def extract_mesh(
     return verts.astype(np.float32), tris
 
 
+def _field_logit_jit(field_params, pts, field_cfg):
+    from psnerf_tpu.fields.occupancy import occ_logit
+
+    return -occ_logit(field_params, pts, field_cfg)
+
+
+_field_logit_cache: dict = {}
+
+
 def make_field_value_fn(field_params, field_cfg, jit: bool = True):
-    """Inside-positive logit evaluator for extract_mesh, compiled once for a
-    fixed chunk size."""
+    """Inside-positive logit evaluator for extract_mesh.
+
+    Params are passed as jit ARGUMENTS (cfg static), so repeated extractions
+    with updated params reuse one compiled program instead of re-baking the
+    weights as constants every call."""
     import jax
     import jax.numpy as jnp
 
-    from psnerf_tpu.fields.occupancy import occ_logit
-
-    def f(pts):
-        return -occ_logit(field_params, jnp.asarray(pts), field_cfg)
-
     if jit:
-        f = jax.jit(f)
-    return lambda pts: np.asarray(f(pts), np.float64)
+        fn = _field_logit_cache.get("jit")
+        if fn is None:
+            fn = _field_logit_cache["jit"] = jax.jit(
+                _field_logit_jit, static_argnames=("field_cfg",))
+        return lambda pts: np.asarray(
+            fn(field_params, jnp.asarray(pts), field_cfg), np.float64)
+    return lambda pts: np.asarray(
+        _field_logit_jit(field_params, jnp.asarray(pts), field_cfg),
+        np.float64)

