@@ -59,43 +59,133 @@ def load_hocon(path: str) -> dict:
     return parse_hocon(text)
 
 
+def _strip_hocon_comments(text: str) -> str:
+    """Remove `#` / `//` comments outside double quotes, line by line."""
+    out_lines = []
+    for line in text.splitlines():
+        in_q = False
+        cut = len(line)
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if c == '"':
+                in_q = not in_q
+            elif not in_q and (c == "#" or line[i:i + 2] == "//"):
+                cut = i
+                break
+            i += 1
+        out_lines.append(line[:cut])
+    return "\n".join(out_lines)
+
+
 def parse_hocon(text: str) -> dict:
-    """Parse the HOCON subset used by the reference confs: nested `name{}`
-    blocks, `key = value`, `#`/`//` comments, bools/ints/floats/lists/strings
-    (unquoted strings allowed)."""
-    root: dict = {}
-    stack = [root]
-    for raw in text.splitlines():
-        line = raw.split("#")[0].split("//")[0].strip()
-        if not line:
-            continue
-        while line.endswith("}"):
-            line = line[:-1].strip()
-            if line:
-                _hocon_line(line, stack)
-                line = ""
-            stack.pop()
-            if not stack:
-                raise ValueError("unbalanced braces in HOCON")
-        if not line:
-            continue
-        if line.endswith("{"):
-            name = line[:-1].strip()
-            child: dict = {}
-            stack[-1][name] = child
-            stack.append(child)
-        else:
-            _hocon_line(line, stack)
-    if len(stack) != 1:
-        raise ValueError("unbalanced braces in HOCON")
-    return root
+    """Parse the HOCON subset used by the reference confs (pyhocon at
+    stage2/trainer.py:25): nested `name { ... }` blocks — multi-line OR
+    single-line, `key = value` / `key : value`, `,` or newline separators,
+    `#`/`//` comments, bools/ints/floats/lists/strings (unquoted strings
+    allowed). Unsupported syntax raises ValueError instead of silently
+    misparsing."""
+    src = _strip_hocon_comments(text)
+    pos = 0
+    n = len(src)
 
+    def err(msg):
+        line = src.count("\n", 0, pos) + 1
+        raise ValueError(f"HOCON parse error at line {line}: {msg}")
 
-def _hocon_line(line: str, stack: list) -> None:
-    if "=" not in line:
-        return
-    key, val = line.split("=", 1)
-    stack[-1][key.strip()] = _hocon_value(val.strip())
+    def skip_ws(include_sep=True):
+        nonlocal pos
+        seps = " \t\r\n," if include_sep else " \t"
+        while pos < n and src[pos] in seps:
+            pos += 1
+
+    def read_key():
+        nonlocal pos
+        start = pos
+        while pos < n and src[pos] not in "=:{}\n":
+            pos += 1
+        key = src[start:pos].strip()
+        if not key:
+            err("expected a key")
+        if pos >= n or src[pos] == "\n" or src[pos] == "}":
+            err(f"key {key!r} has no value or block")
+        return key
+
+    def read_balanced(open_c, close_c):
+        nonlocal pos
+        start = pos
+        depth = 0
+        while pos < n:
+            c = src[pos]
+            if c == '"':
+                pos += 1
+                while pos < n and src[pos] != '"':
+                    pos += 1
+            elif c == open_c:
+                depth += 1
+            elif c == close_c:
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    return src[start:pos]
+            pos += 1
+        err(f"unbalanced {open_c}{close_c}")
+
+    def read_value():
+        nonlocal pos
+        skip_ws(include_sep=False)
+        if pos >= n:
+            err("expected a value")
+        c = src[pos]
+        if c == "{":
+            pos += 1
+            return read_object(stop_at_brace=True)
+        if c == "[":
+            return _hocon_value(" ".join(read_balanced("[", "]").split()))
+        if c == '"':
+            start = pos
+            pos += 1
+            while pos < n and src[pos] != '"':
+                pos += 1
+            if pos >= n:
+                err("unterminated string")
+            pos += 1
+            return src[start + 1:pos - 1]
+        start = pos
+        while pos < n and src[pos] not in "\n,}":
+            pos += 1
+        v = src[start:pos].strip()
+        if not v:
+            err("empty value")
+        return _hocon_value(v)
+
+    def read_object(stop_at_brace: bool) -> dict:
+        nonlocal pos
+        obj: dict = {}
+        while True:
+            skip_ws()
+            if pos >= n:
+                if stop_at_brace:
+                    err("unbalanced braces")
+                return obj
+            if src[pos] == "}":
+                if not stop_at_brace:
+                    err("unbalanced braces")
+                pos += 1
+                return obj
+            key = read_key()
+            if src[pos] == "{":
+                pos += 1
+                child = read_object(stop_at_brace=True)
+            else:
+                pos += 1  # '=' or ':'
+                child = read_value()
+            if isinstance(child, dict) and isinstance(obj.get(key), dict):
+                _update_recursive(obj[key], child)
+            else:
+                obj[key] = child
+
+    return read_object(stop_at_brace=False)
 
 
 def _hocon_value(v: str) -> Any:

@@ -101,3 +101,43 @@ def test_shipped_configs_parse():
             assert c2.stage1_shape_path.endswith("shape_out")
     finally:
         os.chdir(cwd)
+
+
+def test_hocon_single_line_blocks_and_separators():
+    """pyhocon-style one-liners (stage2/trainer.py:25 accepts these) parse
+    identically to their multi-line form."""
+    from psnerf_tpu.config import parse_hocon
+
+    multi = parse_hocon("""
+train {
+    lr = 5e-4
+    flag = true
+}
+net { width = 256 }
+""")
+    single = parse_hocon(
+        "train { lr = 5e-4, flag = true }\nnet { width = 256 }")
+    assert single == multi
+    assert single["train"]["lr"] == 5e-4
+    assert single["net"]["width"] == 256
+
+    nested = parse_hocon("a { b { c = 1 } d = [1, 2, 3] }")
+    assert nested == {"a": {"b": {"c": 1}, "d": [1, 2, 3]}}
+
+    # colon separator + quoted strings with comment chars inside
+    colon = parse_hocon('k : "a # not-a-comment" // trailing\nm = x.y.Z')
+    assert colon == {"k": "a # not-a-comment", "m": "x.y.Z"}
+
+    # duplicate blocks merge (HOCON semantics)
+    merged = parse_hocon("a { x = 1 }\na { y = 2 }")
+    assert merged == {"a": {"x": 1, "y": 2}}
+
+
+def test_hocon_rejects_unparsable_syntax():
+    import pytest as _pytest
+
+    from psnerf_tpu.config import parse_hocon
+
+    for bad in ["a { b = 1", "a }", "= 3", "key", "a { b }"]:
+        with _pytest.raises(ValueError):
+            parse_hocon(bad)
