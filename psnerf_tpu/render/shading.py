@@ -56,6 +56,54 @@ def _visibility(params, cfg, point_emb, light_emb):
                           "none", compute_dtype=_cdt(cfg))
 
 
+def psnet_point_heads(
+    params: dict,
+    cfg: PSNetConfig,
+    points: jnp.ndarray,          # [N, 3]
+    normals_pregen: jnp.ndarray,  # [N, 3]
+    albedo_new: Optional[jnp.ndarray] = None,
+    basis_new: Optional[int] = None,
+) -> dict:
+    """The light-independent per-point heads (albedo / SG weights or
+    roughness / shading normal), evaluated once per point. Returns
+    {point_emb, albedo, weights, normal, normal_pred?}; `normal` is the
+    shading normal (MLP output when cfg.normal_mlp, else the stage-1
+    pregen), `normal_pred` only present for the MLP case (pre-mask-fill)."""
+    n = points.shape[0]
+    point_emb = nerf_embed(points, cfg.n_freqs_xyz)  # [N, E]
+
+    albedo = _albedo(params, cfg, point_emb)  # [N, 3]
+    if albedo_new is not None:
+        albedo = jnp.broadcast_to(jnp.asarray(albedo_new, albedo.dtype), albedo.shape)
+    rough_raw = _rough_raw(params, cfg, point_emb)
+
+    if cfg.render_model == "sgbasis":
+        weights = jax.nn.relu(rough_raw)  # [N, n_weights]
+        if basis_new is not None:
+            w_new = jnp.zeros_like(weights)
+            nb = cfg.nbasis
+            val = 2.0**basis_new / 100.0
+            if cfg.specular_rgb:
+                w_new = w_new.reshape(n, 3, nb).at[:, :, basis_new].set(val).reshape(n, -1)
+            else:
+                w_new = w_new.at[:, basis_new].set(val)
+            weights = w_new
+    else:
+        weights = rough_raw  # [N, 1] microfacet roughness
+
+    out = {"point_emb": point_emb, "albedo": albedo, "weights": weights}
+    if cfg.normal_mlp:
+        emb_n = nerf_embed(points, cfg.normal_n_freqs_xyz)
+        out["normal"] = _normalize(
+            skip_mlp_apply(params["normal"], emb_n, (cfg.normal_mlp_skip_at,),
+                           "none", compute_dtype=_cdt(cfg))
+        )
+        out["normal_pred"] = out["normal"]
+    else:
+        out["normal"] = normals_pregen
+    return out
+
+
 def render_psnet(
     params: dict,
     cfg: PSNetConfig,
@@ -80,38 +128,15 @@ def render_psnet(
     n = points.shape[0]
     mask1 = surface_mask[:, None]
 
-    point_emb = nerf_embed(points, cfg.n_freqs_xyz)  # [N, E]
-
     # --- per-point heads (computed once, not per light) ---
-    albedo = _albedo(params, cfg, point_emb)  # [N, 3]
-    if albedo_new is not None:
-        albedo = jnp.broadcast_to(jnp.asarray(albedo_new, albedo.dtype), albedo.shape)
-    rough_raw = _rough_raw(params, cfg, point_emb)
-
-    if cfg.render_model == "sgbasis":
-        weights = jax.nn.relu(rough_raw)  # [N, n_weights]
-        if basis_new is not None:
-            w_new = jnp.zeros_like(weights)
-            nb = cfg.nbasis
-            val = 2.0**basis_new / 100.0
-            if cfg.specular_rgb:
-                w_new = w_new.reshape(n, 3, nb).at[:, :, basis_new].set(val).reshape(n, -1)
-            else:
-                w_new = w_new.at[:, basis_new].set(val)
-            weights = w_new
-    else:
-        weights = rough_raw  # [N, 1] microfacet roughness
-
+    heads = psnet_point_heads(params, cfg, points, normals_pregen,
+                              albedo_new, basis_new)
+    point_emb, albedo, weights = (
+        heads["point_emb"], heads["albedo"], heads["weights"])
+    normal = heads["normal"]
     if cfg.normal_mlp:
-        emb_n = nerf_embed(points, cfg.normal_n_freqs_xyz)
-        normal_out = _normalize(
-            skip_mlp_apply(params["normal"], emb_n, (cfg.normal_mlp_skip_at,),
-                           "none", compute_dtype=_cdt(cfg))
-        )
-        normal = normal_out
-        normal_pred = jnp.where(mask1, normal_out, 1.0)
+        normal_pred = jnp.where(mask1, heads["normal_pred"], 1.0)
     else:
-        normal = normals_pregen
         normal_pred = normals_pregen
 
     pts2c = -ray_dirs  # camera z axis points toward the surface (renderer.py:162)
