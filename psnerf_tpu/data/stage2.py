@@ -73,15 +73,41 @@ def load_stage2_data(
 
     masks = np.asarray(masks, np.float32)
     v = len(views)
+    # ragged per-view light counts (light_is_same=false datasets,
+    # stage2/datasets/dataset.py:117-151): pad the light axis to the max
+    # count; light_count/light_mask let samplers avoid the padding
+    llen = [len(s) for s in light_slt]
+    l_max = max(llen)
+
+    def pad_lights(arrs, fill=0.0):
+        """list of [L_v, ...] -> [V, l_max, ...] (padded with `fill`)."""
+        out_arr = np.full((v, l_max) + tuple(np.shape(arrs[0])[1:]), fill,
+                          np.float32)
+        for i, a in enumerate(arrs):
+            out_arr[i, : len(a)] = a
+        return out_arr
+
+    light_mask = np.zeros((v, l_max), bool)
+    for i, n_l in enumerate(llen):
+        light_mask[i, :n_l] = True
+    # pad direction rows with +z so normalization downstream stays finite
+    ld_pad = pad_lights(light_dirs)
+    ld_pad[~light_mask] = (0.0, 0.0, 1.0)
+    slt_pad = np.full((v, l_max), -1, np.int64)
+    for i, s in enumerate(light_slt):
+        slt_pad[i, : len(s)] = s
+
     out = {
-        "imgs": jnp.asarray(np.asarray(imgs)),
+        "imgs": jnp.asarray(pad_lights(imgs)),
         "object_masks": jnp.asarray(masks.reshape(v, -1) > 0),
         "gt_normal": jnp.asarray(np.asarray(gt_normals, np.float32).reshape(v, -1, 3)),
         "points": jnp.asarray(np.asarray(points, np.float32).reshape(v, -1, 3)),
         "normals": jnp.asarray(np.asarray(normals, np.float32).reshape(v, -1, 3)),
         "surface_mask": jnp.asarray(np.asarray(smasks).reshape(v, -1).astype(bool)),
-        "light_dirs": jnp.asarray(np.asarray(light_dirs, np.float32)),
-        "light_slt": np.asarray(light_slt),
+        "light_dirs": jnp.asarray(ld_pad),
+        "light_slt": slt_pad,
+        "light_count": np.asarray(llen),
+        "light_mask": jnp.asarray(light_mask),
         "poses": jnp.asarray(scene.pose_cv[views]),
         "pose_gl": scene.pose_gl[views],
         "K": jnp.asarray(scene.K),
@@ -89,7 +115,7 @@ def load_stage2_data(
         "img_res": masks.shape[-2:],
     }
     if vis_loss:
-        out["visibility"] = jnp.asarray(np.asarray(vis))
+        out["visibility"] = jnp.asarray(pad_lights(vis))
     if vis_loss and vis_plus:
         vp_dir = os.path.join(stage1_shape_path, "vis_plus")
         with open(os.path.join(vp_dir, "light_dir.json")) as f:
@@ -128,7 +154,14 @@ def sample_stage2_batch(
     n_lights = data["imgs"].shape[1]
     total_px = data["imgs"].shape[2]
 
-    lidx = jax.random.choice(k_l, n_lights, (light_bs,), replace=False)
+    lmask = data.get("light_mask")
+    if lmask is not None:
+        # ragged light counts: sample only this view's real lights
+        lp = lmask[view].astype(jnp.float32)
+        lidx = jax.random.choice(k_l, n_lights, (light_bs,), replace=False,
+                                 p=lp / lp.sum())
+    else:
+        lidx = jax.random.choice(k_l, n_lights, (light_bs,), replace=False)
     if sample_in_mask:
         mask = data["object_masks"][view]
         probs = mask.astype(jnp.float32) / jnp.maximum(mask.sum(), 1)
@@ -162,8 +195,18 @@ def sample_stage2_batch(
         pool_vis = jnp.concatenate(
             [data["vis_plus"][view], data["visibility"][view]], axis=0
         )
-        sidx = jax.random.choice(k_v, pool_dirs.shape[0], (vis_train_num,),
-                                 replace=False)
+        if lmask is not None:
+            # exclude the view's padded (non-existent) train-light rows
+            pool_mask = jnp.concatenate([
+                jnp.ones((data["vis_plus_dirs"].shape[1],)),
+                lmask[view].astype(jnp.float32),
+            ])
+            sidx = jax.random.choice(
+                k_v, pool_dirs.shape[0], (vis_train_num,), replace=False,
+                p=pool_mask / pool_mask.sum())
+        else:
+            sidx = jax.random.choice(k_v, pool_dirs.shape[0],
+                                     (vis_train_num,), replace=False)
         batch["light_vis_train"] = pool_dirs[sidx]
         batch["vis_train_gt"] = pool_vis[sidx][:, pix]
     return batch

@@ -135,6 +135,7 @@ def generate_synthetic_scene(
     specular: float = 0.3,
     spheres=None,
     light_spread: float = 0.35,
+    ragged_lights: bool = False,
 ) -> dict:
     """Writes the dataset; returns the params dict.
 
@@ -143,7 +144,10 @@ def generate_synthetic_scene(
     `radius` at the origin (the original convex scene).
     light_spread: std of the camera-frame light scatter around the optical
     axis; raise it (~0.9) on non-convex scenes so oblique lights cast
-    camera-visible shadows."""
+    camera-visible shadows.
+    ragged_lights: emit a light_is_same=false dataset with DIFFERENT light
+    counts per view (n_lights, n_lights-1, n_lights-2, cycling) — the
+    reference's per-view light-list layout (stage2/datasets/dataset.py:117-151)."""
     rng = np.random.default_rng(seed)
     h, w = hw
     total = n_views + n_test
@@ -164,13 +168,25 @@ def generate_synthetic_scene(
         poses_gl.append(_look_at(eye))
     poses_gl = np.asarray(poses_gl)
 
-    # shared per-view light directions in CAMERA frame (light_is_same=True),
-    # pointing from surface toward the light, biased toward the camera (-z in
-    # OpenGL camera coords means "behind the camera" is +z... lights roughly
-    # along the optical axis with offsets)
-    lights_cam = (rng.normal(size=(n_lights, 3)) * light_spread
-                  + np.asarray([0, 0, 1.0]))
-    lights_cam /= np.linalg.norm(lights_cam, axis=-1, keepdims=True)
+    # per-view light directions in CAMERA frame, pointing from surface toward
+    # the light, biased toward the camera (-z in OpenGL camera coords means
+    # "behind the camera" is +z... lights roughly along the optical axis with
+    # offsets). light_is_same=True shares one rig; ragged_lights draws an
+    # independent, differently-sized rig per view.
+    def draw_lights(n):
+        lc = (rng.normal(size=(n, 3)) * light_spread
+              + np.asarray([0, 0, 1.0]))
+        return lc / np.linalg.norm(lc, axis=-1, keepdims=True)
+
+    if ragged_lights:
+        assert n_lights >= 4, "ragged scenes need n_lights >= 4"
+        counts = [n_lights - (vi % 3) for vi in range(total)]
+        lights_per_view = [draw_lights(c) for c in counts]
+        light_direction_json = [lv.tolist() for lv in lights_per_view]
+    else:
+        shared = draw_lights(n_lights)
+        lights_per_view = [shared] * total
+        light_direction_json = shared.tolist()
 
     params = {
         "n_view": total,
@@ -179,8 +195,8 @@ def generate_synthetic_scene(
         "K": K.tolist(),
         "pose_c2w": poses_gl.tolist(),
         "imhw": [h, w],
-        "light_is_same": True,
-        "light_direction": lights_cam.tolist(),
+        "light_is_same": not ragged_lights,
+        "light_direction": light_direction_json,
         "gt_normal_world": False,
         "obj_name": "synth_sphere" if len(spheres) == 1 else "synth_snowman",
         # scene spec for write_stage1_exports / tests (not part of the
@@ -192,11 +208,12 @@ def generate_synthetic_scene(
     with open(os.path.join(outdir, "params.json"), "w") as f:
         json.dump(params, f)
 
-    for sub in ["mask", "norm_mask", "normal/npy",
-                f"sdps_out_l{n_lights}/outnpy"]:
+    # light_is_same=false scenes use the unsuffixed sdps_out / img/avg paths
+    # (SceneParams.sdps_dir / img_subdir)
+    sdps = f"sdps_out_l{n_lights}" if not ragged_lights else "sdps_out"
+    for sub in ["mask", "norm_mask", "normal/npy", f"{sdps}/outnpy"]:
         os.makedirs(os.path.join(outdir, sub), exist_ok=True)
 
-    sdps = f"sdps_out_l{n_lights}"
     to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
     for vi in range(total):
@@ -224,13 +241,16 @@ def generate_synthetic_scene(
              np.sin(4 * pts[..., 2])], -1)
 
         img_dir = os.path.join(outdir, "img", f"view_{vi + 1:02d}")
-        avg_dir = os.path.join(outdir, "img", f"avg_l{n_lights}")
+        avg_dir = os.path.join(
+            outdir, "img", "avg" if ragged_lights else f"avg_l{n_lights}")
         os.makedirs(img_dir, exist_ok=True)
         os.makedirs(avg_dir, exist_ok=True)
         acc = np.zeros((h, w, 3))
-        l_world = np.einsum("ij,kj->ki", pose_gl[:3, :3], lights_cam)
+        lights_cam_v = lights_per_view[vi]
+        n_l_v = len(lights_cam_v)
+        l_world = np.einsum("ij,kj->ki", pose_gl[:3, :3], lights_cam_v)
         vis_all = analytic_visibility(pts, nrm, sid, l_world, spheres)  # [L,H,W]
-        for li in range(n_lights):
+        for li in range(n_l_v):
             cos = np.maximum(np.einsum("hwi,i->hw", nrm, l_world[li]), 0.0)
             half = l_world[li][None, None] - view_dir
             half /= np.maximum(np.linalg.norm(half, axis=-1, keepdims=True), 1e-9)
@@ -241,14 +261,25 @@ def generate_synthetic_scene(
             rgb = np.clip(rgb, 0, 1) * hit[..., None]
             imageio.imwrite(os.path.join(img_dir, f"{li + 1:03d}.png"), to8(rgb))
             acc += rgb
-        avg = acc / n_lights + (1.0 - hit[..., None])  # white background average
+        avg = acc / n_l_v + (1.0 - hit[..., None])  # white background average
         imageio.imwrite(os.path.join(avg_dir, f"view_{vi + 1:02d}.png"), to8(avg))
 
     # SDPS light predictions: camera-frame dirs + intensities per view
-    np.save(os.path.join(outdir, sdps, "light_direction_pred.npy"),
-            np.tile(lights_cam[None], (total, 1, 1)).astype(np.float32))
-    np.save(os.path.join(outdir, sdps, "light_intensity_pred.npy"),
-            np.full((total, n_lights), light_int, np.float32))
+    # (ragged: object arrays of per-view [L_v, ...], as the reference's
+    # allow_pickle loads expect)
+    if ragged_lights:
+        dir_pred = np.empty(total, object)
+        int_pred = np.empty(total, object)
+        for vi in range(total):
+            dir_pred[vi] = lights_per_view[vi].astype(np.float32)
+            int_pred[vi] = np.full((len(lights_per_view[vi]),), light_int,
+                                   np.float32)
+    else:
+        dir_pred = np.tile(
+            lights_per_view[0][None], (total, 1, 1)).astype(np.float32)
+        int_pred = np.full((total, n_lights), light_int, np.float32)
+    np.save(os.path.join(outdir, sdps, "light_direction_pred.npy"), dir_pred)
+    np.save(os.path.join(outdir, sdps, "light_intensity_pred.npy"), int_pred)
     return params
 
 
@@ -272,7 +303,12 @@ def write_stage1_exports(
     K = np.asarray(params["K"], np.float32)
     poses_gl = np.asarray(params["pose_c2w"], np.float32)
     h, w = params["imhw"]
-    lights_cam = np.asarray(params["light_direction"], np.float32)
+    if params.get("light_is_same", True):
+        lights_per_view = [np.asarray(params["light_direction"], np.float32)
+                           ] * params["n_view"]
+    else:  # ragged per-view light lists
+        lights_per_view = [np.asarray(ld, np.float32)
+                           for ld in params["light_direction"]]
     spheres = _normalize_spheres(
         [(s[:3], s[3]) for s in params.get("synthetic_spheres", [])] or None,
         0.6,
@@ -293,7 +329,7 @@ def write_stage1_exports(
         np.save(os.path.join(export_dir, "normal", f"view_{vi + 1:02d}.npy"), nrm_flat)
         np.save(os.path.join(export_dir, "mask", f"view_{vi + 1:02d}.npy"),
                 hit.reshape(-1))
-        l_world = np.einsum("ij,kj->ki", pose_gl[:3, :3], lights_cam)
+        l_world = np.einsum("ij,kj->ki", pose_gl[:3, :3], lights_per_view[vi])
         hit_flat = hit.reshape(-1)
         vis = analytic_visibility(pts, nrm, sid, l_world, spheres)
         # ones outside the mask (the renderer's fill convention,

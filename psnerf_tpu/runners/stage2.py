@@ -50,10 +50,14 @@ class Stage2Runner:
             vis_loss=cfg.vis_loss, vis_plus=cfg.vis_plus,
         )
         self.n_views = len(self.data["views"])
-        n_lights = self.data["imgs"].shape[1]
+        # ragged per-view light counts: the light axis is padded to the max;
+        # light_count holds the real count per view
+        self.light_count = np.asarray(self.data["light_count"])
+        n_lights = int(self.light_count.min())
         self.light_bs = min(cfg.light_bs, n_lights)
 
         # ---- light table init (trainer.py:132-163) ----
+        cnt = self.light_count
         if cfg.train.light_train and cfg.light_init == "pred":
             sdps_dir = self.scene.sdps_dir(cfg.inten_normalize, cfg.train_light)
             lp = np.load(os.path.join(sdps_dir, "light_direction_pred.npy"),
@@ -61,12 +65,12 @@ class Stage2Runner:
             slt = self.data["light_slt"]
             dirs0 = np.concatenate([
                 np.einsum("ij,kj->ki", self.data["pose_gl"][i, :3, :3],
-                          np.asarray(lp[i])[slt[i]])
+                          np.asarray(lp[i])[slt[i, : cnt[i]]])
                 for i in range(self.n_views)
             ]).astype(np.float32)
         else:  # 'gt' (or light_train off): dataset dirs
             dirs0 = np.concatenate(
-                [np.asarray(self.data["light_dirs"][i])
+                [np.asarray(self.data["light_dirs"][i][: cnt[i]])
                  for i in range(self.n_views)]
             ).astype(np.float32)
         if cfg.train.light_inten_train and cfg.light_inten_init == "pred":
@@ -75,17 +79,27 @@ class Stage2Runner:
                          allow_pickle=True)[self.data["views"]]
             slt = self.data["light_slt"]
             ints0 = np.concatenate([
-                np.asarray(ip[i])[slt[i]] for i in range(self.n_views)
+                np.asarray(ip[i])[slt[i, : cnt[i]]] for i in range(self.n_views)
             ]).reshape(-1, 1).astype(np.float32)
         else:  # 'same'
             ints0 = np.full((len(dirs0), 1), cfg.net.light_int, np.float32)
 
-        # initial (frozen) dirs drive the visibility-net inputs (trainer.py:377)
-        self.light_init_dirs = jnp.asarray(
-            dirs0.reshape(self.n_views, -1, 3)
-            / np.linalg.norm(dirs0.reshape(self.n_views, -1, 3), axis=-1,
-                             keepdims=True)
-        )
+        # initial (frozen) dirs drive the visibility-net inputs
+        # (trainer.py:377); padded back to [V, Lmax, 3] (+z rows on padding)
+        init_pad = np.zeros(
+            (self.n_views, int(cnt.max()), 3), np.float32)
+        init_pad[..., 2] = 1.0
+        off = 0
+        for i in range(self.n_views):
+            d = dirs0[off:off + cnt[i]]
+            init_pad[i, : cnt[i]] = d / np.linalg.norm(
+                d, axis=-1, keepdims=True)
+            off += cnt[i]
+        self.light_init_dirs = jnp.asarray(init_pad)
+        # unpadded GT dirs (flat table order) for light-error logging
+        self._gt_dirs_flat = jnp.asarray(np.concatenate(
+            [np.asarray(self.data["light_dirs"][i][: cnt[i]])
+             for i in range(self.n_views)]).astype(np.float32))
 
         model = init_psnet(jax.random.PRNGKey(seed), cfg.net)
         self.params = init_stage2_params(model, dirs0, ints0)
@@ -182,10 +196,7 @@ class Stage2Runner:
                         f"non-finite loss at it={self.it}: {terms}")
                 mse2psnr = lambda x: -10.0 * np.log(x + 1e-8) / np.log(10.0)
                 lderr = float(light_direction_error_deg(
-                    self.params["light_dirs"],
-                    jnp.concatenate([self.data["light_dirs"][i]
-                                     for i in range(self.n_views)]),
-                ))
+                    self.params["light_dirs"], self._gt_dirs_flat))
                 dt = time.time() - t0
                 print(f"[stage2 it {self.it}] loss={terms['loss']:.5f} "
                       f"rgb={terms['sg_rgb_loss']:.5f} "
@@ -342,13 +353,14 @@ class Stage2Runner:
         if cfg.train.light_train and vi in set(self.data["views"].tolist()):
             local = int(np.where(self.data["views"] == vi)[0][0])
             off = self.data["light_row_offset"][local]
-            ln = self.data["imgs"].shape[1]
+            ln = int(self.data["light_count"][local])
             dirs = np.asarray(self.params["light_dirs"][off:off + ln])
             # np.asarray of a jax array is read-only: no in-place ops
             dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
             ints = np.asarray(self.params["light_ints"][off:off + ln, 0])
             return dirs, ints
-        dirs = np.asarray(data["light_dirs"][view])
+        ln = int(data["light_count"][view])
+        dirs = np.asarray(data["light_dirs"][view][:ln])
         ints = np.full((dirs.shape[0],), cfg.net.light_int, np.float32)
         return dirs, ints
 
