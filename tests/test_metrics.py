@@ -83,3 +83,56 @@ def test_lpips_architecture_shapes():
     np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
     img2 = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
     assert float(lpips_distance(params, img, img2)) > 0
+
+
+def test_lpips_npz_export_roundtrip(tmp_path):
+    """tools/export_lpips_npz.py converts an lpips-package-style state_dict
+    (net.sliceK.N.* conv keys + lin{i}.model.1.weight heads) to the npz that
+    LPIPS() loads; the loaded metric runs and matches the direct params."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from export_lpips_npz import export_from_state_dict
+
+    from psnerf_tpu.eval.lpips_jax import LPIPS
+
+    rng = np.random.default_rng(1)
+    slice_of_conv = {0: 1, 3: 2, 6: 3, 8: 4, 10: 5}
+    kernels = [11, 5, 3, 3, 3]
+    sd, params = {}, {}
+    in_ch = 3
+    for i, (conv_id, k, out_ch) in enumerate(
+            zip(slice_of_conv, kernels, _TAP_CHANNELS)):
+        w = rng.normal(0, 0.05, (out_ch, in_ch, k, k)).astype(np.float32)
+        b = rng.normal(0, 0.01, (out_ch,)).astype(np.float32)
+        lin = rng.random((1, out_ch, 1, 1)).astype(np.float32)
+        sd[f"net.slice{slice_of_conv[conv_id]}.{conv_id}.weight"] = w
+        sd[f"net.slice{slice_of_conv[conv_id]}.{conv_id}.bias"] = b
+        sd[f"lin{i}.model.1.weight"] = lin
+        params[f"conv{i}_w"] = jnp.asarray(w)
+        params[f"conv{i}_b"] = jnp.asarray(b)
+        params[f"lin{i}_w"] = jnp.asarray(lin)
+        in_ch = out_ch
+
+    out_npz = str(tmp_path / "lpips_alex.npz")
+    export_from_state_dict(sd, out_npz)
+
+    metric = LPIPS(weights_path=out_npz)
+    assert metric.available
+    img1 = rng.random((64, 64, 3)).astype(np.float32)
+    img2 = rng.random((64, 64, 3)).astype(np.float32)
+    got = metric(img1, img2)
+    want = float(lpips_distance(params, jnp.asarray(img1), jnp.asarray(img2)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(metric(img1, img1), 0.0, atol=1e-6)
+
+
+def test_lpips_unavailable_is_loud(tmp_path, monkeypatch):
+    """Without weights the evaluation output must SAY lpips is unavailable,
+    not silently omit it."""
+    monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+    from psnerf_tpu.eval.lpips_jax import LPIPS
+
+    metric = LPIPS()
+    assert not metric.available and metric(np.zeros((4, 4, 3)),
+                                           np.zeros((4, 4, 3))) is None

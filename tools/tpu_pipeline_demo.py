@@ -114,7 +114,8 @@ def main():
 
     from psnerf_tpu.eval.evaluation import evaluate_outputs
     res = evaluate_outputs(scene_dir, test_out)
-    summary.update({f"final_{k}": round(v, 3) for k, v in res.items()})
+    summary.update({f"final_{k}": (round(v, 3) if isinstance(v, float) else v)
+                    for k, v in res.items()})
 
     # relight + edit smoke
     # keep the integrated radiance O(1): 512 directional lights sum, so mean
