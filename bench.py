@@ -82,6 +82,23 @@ def bench_fused(cfg, params, args):
     return dt, out["rgb_cnl"]
 
 
+def measure_bf16_parity(cfg, params, args, rgb_fused):
+    """Gate the bf16 design trade with a NUMBER every run: render the same
+    frame through the f32 XLA streaming path (true-f32 matmuls) and report
+    max |drgb| vs the fused bf16 kernel output (rgb in [0,1])."""
+    import dataclasses
+
+    from psnerf_tpu.eval import make_frame_renderer
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    render = make_frame_renderer(cfg32, tile=TILE, outputs=("rgb_cnl",),
+                                 use_fused_vis=False)
+    with jax.default_matmul_precision("float32"):
+        ref = render(params, *args)["rgb_cnl"]
+        err = float(jnp.max(jnp.abs(ref - rgb_fused)))
+    return round(err, 6)
+
+
 def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
                            reps=3, precision="float32"):
     """Reference ALGORITHM as one compiled program: the 64-light x 1024-pixel
@@ -212,6 +229,7 @@ def main():
     cfg, params, args = setup()
     dt_fused, rgb = bench_fused(cfg, params, args)
     rays = H * W * N_LIGHTS
+    bf16_err = measure_bf16_parity(cfg, params, args, rgb)
     dt_dev = bench_reference_device(cfg, params, args, precision="float32")
     dt_dev_bf16 = bench_reference_device(cfg, params, args,
                                          precision="default")
@@ -228,6 +246,9 @@ def main():
         "vs_baseline_bf16": round(dt_dev_bf16 / dt_fused, 2),
         "reference_host_loop_ms": round(dt_host * 1e3, 1),
         "vs_reference_host_loop": round(dt_host / dt_fused, 2),
+        # measured on THIS run: max |rgb_bf16_fused - rgb_f32_xla| over the
+        # full 512x512x96 frame (values in [0,1])
+        "bf16_rgb_max_abs_err": bf16_err,
         "device": str(jax.devices()[0]),
         "notes": (
             "vs_baseline compares against the reference's chunked algorithm "
