@@ -1,0 +1,111 @@
+"""Stage-1 quality curve on the real chip (VERDICT round-1 item 7): train at
+256^2 with periodic held-out-view PSNR evals, logging PSNR vs iteration so
+plateaus are visible. Writes <workdir>/psnr_curve.json and prints a summary
+JSON line.
+
+Root-cause note recorded here after investigation: the reference's training
+GT lookup is get_tensor_values(..., mode='nearest') over INTEGER pixels
+(stage1/model/training.py:168-171 continuous=False + common.py:172 default
+mode='nearest') — identical to our integer-pixel gather, so the round-1
+"bilinear grid_sample parity risk" does not exist on the training path. The
+round-1 PSNR plateau hypothesis to test is simply training budget (1500
+iters in the demo vs the reference's ~100k default).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    from psnerf_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/s1_curve")
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--lights", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--eval-every", type=int, default=2500)
+    ap.add_argument("--wall-budget-s", type=float, default=2400.0)
+    args = ap.parse_args()
+
+    from psnerf_tpu.config import Stage1Config
+    from psnerf_tpu.data.stage1 import load_stage1_data
+    from psnerf_tpu.data.synthetic import generate_synthetic_scene
+    from psnerf_tpu.eval.metrics import psnr
+    from psnerf_tpu.fields.occupancy import OccFieldConfig
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+    from psnerf_tpu.train.losses import Stage1LossWeights
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    scene_dir = os.path.join(wd, "scene")
+    if not os.path.exists(os.path.join(scene_dir, "params.json")):
+        generate_synthetic_scene(scene_dir, n_views=args.views, n_test=1,
+                                 n_lights=args.lights, hw=(args.hw, args.hw),
+                                 radius=0.6, focal=1.6 * args.hw)
+
+    cfg = Stage1Config(
+        field=OccFieldConfig(num_layers=8, hidden_dim=256, feat_size=256,
+                             octaves_pe=6, octaves_pe_views=4),
+        render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                             interval_start=0.6, interval_end=0.05,
+                             interval_decay=3e-4, num_points_in=32,
+                             num_points_out=16, ray_marching_steps=128),
+        train=Stage1TrainConfig(
+            learning_rate=5e-4, milestone_iters=(8000, 14000),
+            n_training_points=1024, normal_after=0,
+            weights=Stage1LossWeights(use_mask_loss=True, lambda_mask=1.0)),
+        data_dir=scene_dir, inten_normalize=None,
+        checkpoint_every=5000, backup_every=1000000, visualize_every=0,
+    )
+    runner = Stage1Runner(cfg, os.path.join(wd, "stage1"), resume=True)
+    test_data = load_stage1_data(
+        runner.scene, "test", cfg.inten_normalize, cfg.train_view,
+        cfg.train_light, False, cfg.render.white_background,
+        normal_loss=False, mask_valid=False,
+    )
+    gt = np.asarray(test_data["imgs"][0])
+    gt_mask = np.asarray(test_data["masks"][0]) > 0
+
+    def eval_psnr():
+        r = runner.render_view(0, tile=4096, data=test_data)
+        pred = np.clip(r["rgb"], 0, 1)
+        # white-background composite like eval_views / the evaluation CLI
+        pred = pred * r["mask"][..., None] + (1 - r["mask"][..., None])
+        gt_w = gt * gt_mask[..., None] + (1 - gt_mask[..., None])
+        return float(psnr(pred, gt_w, np.ones_like(gt_mask)))
+
+    curve = []
+    t_start = time.time()
+    it_per_leg = args.eval_every
+    while runner.it < args.iters and time.time() - t_start < args.wall_budget_s:
+        target = min(runner.it + it_per_leg, args.iters)
+        runner.train(target, log_every=1000, ckpt_every=100000)
+        p = eval_psnr()
+        curve.append({"it": runner.it, "psnr": round(p, 3),
+                      "wall_s": round(time.time() - t_start, 1)})
+        print(f"[curve] it={runner.it} psnr={p:.2f}")
+        with open(os.path.join(wd, "psnr_curve.json"), "w") as f:
+            json.dump(curve, f, indent=2)
+    runner.save(runner.it)
+
+    print(json.dumps({
+        "hw": args.hw, "iters": runner.it,
+        "final_psnr": curve[-1]["psnr"] if curve else None,
+        "curve": curve,
+    }))
+
+
+if __name__ == "__main__":
+    main()
