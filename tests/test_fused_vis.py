@@ -249,3 +249,20 @@ def test_frame_renderer_rgb_cnl_layouts(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused["rgb_sum"]),
         np.asarray(fused["rgb_cnl"]).sum(-1).T, atol=1e-4)
+
+def test_fused_vis_shade_single_light():
+    """L=1 with light_pairs=4: the pairing loop reads only padded rows past
+    row 0; the real lane must still be exact."""
+    (layers, pts, ldirs, normal, view, albedo,
+     weights, mask, lints) = _shade_setup(l=1)
+    from psnerf_tpu.ops.fused_vis import fused_vis_shade
+
+    ref = _shade_xla_reference(layers, pts, ldirs, normal, view, albedo,
+                               weights, mask, lints, True)
+    out = fused_vis_shade(
+        layers, nerf_embed(pts, 10), nerf_embed(ldirs, 10), normal, view,
+        albedo, weights, mask, ldirs, lints,
+        specular_rgb=True, tile=256, interpret=True)
+    assert out.shape == (1, 512, 3)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 2e-2, f"max abs err {err.max():.4f}"
