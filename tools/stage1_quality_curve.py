@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--eval-every", type=int, default=2500)
     ap.add_argument("--wall-budget-s", type=float, default=2400.0)
+    ap.add_argument("--specular", type=float, default=0.3,
+                    help="scene specular strength; 0 isolates the "
+                         "view-dependent-highlight contribution to the "
+                         "novel-view PSNR gap")
     args = ap.parse_args()
 
     from psnerf_tpu.config import Stage1Config
@@ -53,7 +57,8 @@ def main():
     if not os.path.exists(os.path.join(scene_dir, "params.json")):
         generate_synthetic_scene(scene_dir, n_views=args.views, n_test=1,
                                  n_lights=args.lights, hw=(args.hw, args.hw),
-                                 radius=0.6, focal=1.6 * args.hw)
+                                 radius=0.6, focal=1.6 * args.hw,
+                                 specular=args.specular)
 
     cfg = Stage1Config(
         field=OccFieldConfig(num_layers=8, hidden_dim=256, feat_size=256,
