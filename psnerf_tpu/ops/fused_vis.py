@@ -256,9 +256,15 @@ def _vis_shade_kernel(em, r0, r5, w0x, w5x, trunk_w, trunk_b, w8, b8,
     lv = cl[:, LANES:]                                     # v . l  [T, Lp]
     vn = geom[:, 0][:, None]
     mask = geom[:, 1][:, None] > 0.5
-    # h.n with torch.F.normalize semantics: (l+v).n / max(||l+v||, eps)
-    hn = (cos + vn) / jnp.maximum(jnp.sqrt(2.0 + 2.0 * lv), 1e-12)
-    em1 = hn - 1.0
+    # h.n with torch.F.normalize semantics: (l+v).n / max(||l+v||, eps).
+    # ||l+v||^2 = 2 + 2 l.v for unit l, v — clamp at 0: f32 rounding pushes
+    # l.v slightly below -1 for near-antipodal lights and sqrt(neg) = NaN
+    # (the XLA path's sum-of-squares norm can't go negative). Likewise clamp
+    # hn <= 1 (true for unit vectors) so exp(lobe*(hn-1)) can't overflow when
+    # the normalization degenerates at l ~ -v.
+    hn = (cos + vn) / jnp.maximum(
+        jnp.sqrt(jnp.maximum(2.0 + 2.0 * lv, 0.0)), 1e-12)
+    em1 = jnp.minimum(hn - 1.0, 0.0)
     ds = [jnp.exp(lobes[i] * em1) for i in range(nbasis)]  # shared lobes
 
     def spec_channel(c):

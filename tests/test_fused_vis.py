@@ -266,3 +266,35 @@ def test_fused_vis_shade_single_light():
     assert out.shape == (1, 512, 3)
     err = np.abs(np.asarray(out) - np.asarray(ref))
     assert err.max() < 2e-2, f"max abs err {err.max():.4f}"
+
+def test_fused_vis_shade_antipodal_lights_finite():
+    """Envmap relighting feeds lights from EVERY direction, including ones
+    nearly antipodal to the view vector, where l.v rounds below -1 and a
+    naive sqrt(2 + 2 l.v) is NaN (this rendered as black speckle on TPU).
+    The kernel must stay finite and match XLA away from the degeneracy."""
+    (layers, pts, ldirs, normal, view, albedo,
+     weights, mask, lints) = _shade_setup(l=8)
+    from psnerf_tpu.ops.fused_vis import fused_vis_shade
+
+    # make light 0 exactly antipodal to every view vector is impossible for
+    # varying v; instead aim it against the mean view dir and ALSO test the
+    # exact per-point antipode by constant v
+    view_const = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0]), view.shape)
+    ldirs = ldirs.at[0].set(jnp.asarray([0.0, 0.0, -1.0]))  # l = -v exactly
+
+    out = fused_vis_shade(
+        layers, nerf_embed(pts, 10), nerf_embed(ldirs, 10), normal,
+        view_const, albedo, weights, mask, ldirs, lints,
+        specular_rgb=True, tile=256, interpret=True)
+    assert np.isfinite(np.asarray(out)).all(), "NaN/inf in fused rgb"
+    s = fused_vis_shade(
+        layers, nerf_embed(pts, 10), nerf_embed(ldirs, 10), normal,
+        view_const, albedo, weights, mask, ldirs, lints,
+        specular_rgb=True, sum_lights=True, tile=256, interpret=True)
+    assert np.isfinite(np.asarray(s)).all(), "NaN/inf in fused rgb_sum"
+    # non-degenerate lights still match the XLA reference
+    ref = _shade_xla_reference(layers, pts, ldirs, normal, view_const,
+                               albedo, weights, mask, lints, True)
+    err = np.abs(np.asarray(out)[1:] - np.asarray(ref)[1:])
+    assert err.max() < 2e-2, f"max abs err {err.max():.4f}"

@@ -195,10 +195,19 @@ def _shadow_metrics(r2, scene_dir, exports):
     overall_err = float((gt_bin != pred_bin)[front].mean())
     shadowed = front & ~gt_bin
     shadow_err = float((pred_bin[shadowed]).mean()) if shadowed.sum() else 0.0
+    # interior = shadowed set eroded 1px per light: drops the boundary ring
+    # where the 128-step march's penumbra legitimately straddles the edge
+    # (same clear-margin methodology as tests/test_shadows)
+    from scipy import ndimage
+
+    interior = np.stack([ndimage.binary_erosion(s) for s in shadowed])
+    interior_err = (float(pred_bin[interior].mean())
+                    if interior.sum() else 0.0)
 
     out = {
         "marched_vis_err_frontlit": round(overall_err, 4),
         "marched_vis_err_shadowed": round(shadow_err, 4),
+        "marched_vis_err_shadow_interior": round(interior_err, 4),
         "n_cast_shadow_px": int(shadowed.sum()),
     }
 
