@@ -281,30 +281,54 @@ class Stage2Runner:
     def render_view(self, data, view: int, light_dirs, light_ints,
                     tile: int = 4096, outputs=("rgb", "albedo", "rough",
                                                "visibility", "normal_pred"),
-                    use_fused_vis: bool | None = None):
+                    use_fused_vis: bool | None = None,
+                    compact: bool | None = None):
         """All lights x all pixels of one view, single fused launch.
 
         use_fused_vis: route the visibility MLP through the Pallas kernel
         (auto: on TPU when the light count fits one kernel launch; larger
-        light sets — envmap relighting — are chunked by the caller)."""
+        light sets — envmap relighting — are chunked by the caller).
+        compact: render only the surface-mask pixels (padded to the tile)
+        and scatter the results back with the reference's fill values —
+        object masks typically cover 25-50%% of the frame, so this cuts the
+        per-frame kernel work 2-4x. Auto: on when mask coverage < 0.6.
+        Per-pixel math is independent, so outputs are identical."""
         if use_fused_vis is None:
             use_fused_vis = (jax.default_backend() == "tpu"
                              and self.cfg.net.visibility
                              and len(light_dirs) <= 128)
         h, w = data["img_res"]
         n = h * w
-        pad = (-n) % tile
+        mask_np = np.asarray(data["surface_mask"][view]).reshape(-1) > 0
+        if compact is None:
+            compact = mask_np.mean() < 0.6
         ys, xs = np.mgrid[0:h, 0:w]
         uv = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
 
-        def padded(x, fill=0.0):
-            # stays on device: np.asarray here would round-trip the arrays
-            # through the host (catastrophic over a tunneled backend)
-            x = jnp.asarray(x)
-            if pad == 0:
-                return x
-            widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
-            return jnp.pad(x, widths, constant_values=fill)
+        if compact:
+            sel = np.where(mask_np)[0]
+            n_out = sel.shape[0]
+            pad = (-n_out) % tile
+            sel_pad = np.concatenate([sel, np.zeros((pad,), sel.dtype)])
+            sel_dev = jnp.asarray(sel_pad)
+            gather = lambda x, fill=None: jnp.asarray(x)[sel_dev]
+            uv_in = jnp.asarray(uv)[sel_dev]
+            mask_in = jnp.ones((n_out + pad,), bool)
+        else:
+            n_out = n
+            pad = (-n) % tile
+
+            def gather(x, fill=0.0):
+                # stays on device: np.asarray here would round-trip the
+                # arrays through the host (catastrophic over a tunnel)
+                x = jnp.asarray(x)
+                if pad == 0:
+                    return x
+                widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                return jnp.pad(x, widths, constant_values=fill)
+
+            uv_in = gather(uv)
+            mask_in = gather(data["surface_mask"][view], False)
 
         cfg = self.cfg.net
         avail = {"rgb", "rgb_sum", "albedo", "rough", "sg_weight",
@@ -328,19 +352,31 @@ class Stage2Runner:
                                     use_fused_vis=use_fused_vis)
             )
         out = cache[key](
-            self.params["model"], padded(uv), data["poses"][view], data["K"],
-            padded(data["points"][view]), padded(data["normals"][view]),
-            padded(data["surface_mask"][view], False),
+            self.params["model"], uv_in, data["poses"][view], data["K"],
+            gather(data["points"][view]), gather(data["normals"][view]),
+            mask_in,
             jnp.asarray(light_dirs), jnp.asarray(light_ints),
         )
         out = jax.device_get(out)
         res = {}
+        # reference fill values outside the surface mask (render_psnet):
+        # ones everywhere except sg_weight; rgb_sum's per-light ones sum to L
+        fills = {"sg_weight": 0.0, "rgb_sum": float(len(light_dirs))}
         for k, v in out.items():
+            if compact:
+                full_shape = ((v.shape[0], n) + v.shape[2:] if v.ndim == 3
+                              else (n,) + v.shape[1:])
+                full = np.full(full_shape, fills.get(k, 1.0), v.dtype)
+                if v.ndim == 3:
+                    full[:, sel] = v[:, :n_out]
+                else:
+                    full[sel] = v[:n_out]
+                v = full
             if v.ndim == 3:  # [L, N(+pad), C]
                 res[k] = v[:, :n].reshape(v.shape[0], h, w, -1)
             else:
                 res[k] = v[:n].reshape(h, w, -1)
-        res["mask"] = np.asarray(data["surface_mask"][view]).reshape(h, w)
+        res["mask"] = mask_np.reshape(h, w)
         res["normal_values"] = np.asarray(
             data["normals"][view]).reshape(h, w, 3)
         return res

@@ -123,3 +123,27 @@ def test_ragged_trains_and_evals(ragged_scene, tmp_path_factory):
     test_view = 4  # counts cycle 6,5,4,6 -> view index 3 (1-based view_04)
     rgb_dir = os.path.join(out_dir, "rgb", "img", f"view_{test_view:02d}")
     assert len(os.listdir(rgb_dir)) == 6  # view 3 has 6 lights
+
+
+def test_compact_render_matches_full(ragged_scene, tmp_path_factory):
+    """Mask-compacted eval rendering (gather in-mask pixels, scatter back
+    with the reference fill values) must reproduce the full-frame render
+    exactly — per-pixel math has no cross-pixel coupling."""
+    from psnerf_tpu.runners.stage2 import Stage2Runner
+
+    wd = str(tmp_path_factory.mktemp("compact_wd"))
+    runner = Stage2Runner(_cfg(ragged_scene), wd, resume=False)
+    data = runner._eval_data("test")
+    dirs, ints = runner.trained_lights_for_view(data, 0)
+
+    outs = ("rgb", "rgb_sum", "albedo", "visibility", "normal_pred",
+            "sg_weight")
+    full = runner.render_view(data, 0, dirs, ints, tile=256, outputs=outs,
+                              compact=False)
+    comp = runner.render_view(data, 0, dirs, ints, tile=256, outputs=outs,
+                              compact=True)
+    assert set(full) == set(comp)
+    for k in outs:
+        np.testing.assert_allclose(
+            comp[k], full[k], atol=1e-5,
+            err_msg=f"compact mismatch in {k}")
