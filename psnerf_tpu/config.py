@@ -249,6 +249,7 @@ def stage1_config_from_yaml(path: str) -> Stage1Config:
         octaves_pe=m["octaves_pe"], octaves_pe_views=m["octaves_pe_views"],
         skips=tuple(m["skips"]), feat_size=m["feat_size"],
         rescale=m["rescale"], geometric_init=m["geometric_init"],
+        compute_dtype=m.get("compute_dtype", "float32"),
     )
     render = UnisurfConfig(
         near=r["near"], far=r["far"], radius=r["radius"],

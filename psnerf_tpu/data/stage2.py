@@ -181,7 +181,9 @@ def sample_stage2_batch(
         "normal": data["normals"][view][pix],
         "surface_mask": data["surface_mask"][view][pix],
         "rgb_gt": data["imgs"][view][lidx][:, pix],
-        "l_slt": data["light_row_offset"][view] + lidx,
+        # jnp.asarray: the row-offset table is a small host array, but `view`
+        # may be a traced index (the megastep samples inside a scan)
+        "l_slt": jnp.asarray(data["light_row_offset"])[view] + lidx,
         "lidx": lidx,
         "pix": pix,
     }

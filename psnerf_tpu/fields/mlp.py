@@ -56,8 +56,18 @@ def wn_weight(p: dict) -> jnp.ndarray:
     return p["g"] * v / norm
 
 
-def wn_linear_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ wn_weight(p) + p["b"]
+def wn_linear_apply(p: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """compute_dtype=jnp.bfloat16: run the matmul with bf16 operands and f32
+    accumulation. On TPU the DEFAULT matmul precision already truncates f32
+    operands to bf16 for the multiply, so this loses almost no precision —
+    what it buys is bf16 *storage* of the activations between layers, halving
+    the HBM traffic of megabatched forward/backward passes. The weight-norm
+    reduction (||v||) and the bias add stay f32."""
+    if compute_dtype is None:
+        return x @ wn_weight(p) + p["b"]
+    w = wn_weight(p).astype(compute_dtype)
+    return jnp.dot(x.astype(compute_dtype), w,
+                   preferred_element_type=jnp.float32) + p["b"]
 
 
 # ------------------------------------------------------- stage2-style skip MLP

@@ -41,6 +41,16 @@ class OccFieldConfig:
     rescale: float = 1.0
     geometric_init: bool = True
     sphere_bias: float = 0.6     # radius of the init sphere (network.py:28)
+    # 'float32' | 'bfloat16': storage dtype of inter-layer activations in the
+    # megabatched forward/backward (params and accumulation stay f32). On TPU
+    # the default matmul precision already multiplies in bf16, so 'bfloat16'
+    # mostly halves HBM traffic rather than changing numerics; the training
+    # step is memory-bound, making this ~free throughput.
+    compute_dtype: str = "float32"
+
+    @property
+    def _cdt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     @property
     def dim_embed(self) -> int:
@@ -132,15 +142,20 @@ def occ_logits_and_feat(params: dict, p: jnp.ndarray, cfg: OccFieldConfig) -> jn
     Channel 0 is the raw occupancy logit (positive outside at init);
     reference `infer_occ` (network.py:85-95).
     """
+    cdt = cfg._cdt
     pe = nerf_embed(p / cfg.rescale, cfg.octaves_pe)
+    if cdt is not None:
+        pe = pe.astype(cdt)
     x = pe
     n = len(params["geo"])
     for l, lyr in enumerate(params["geo"]):
         if l in cfg.skips:
-            x = jnp.concatenate([x, pe], axis=-1) / math.sqrt(2)
-        x = wn_linear_apply(lyr, x)
+            x = jnp.concatenate([x.astype(pe.dtype), pe], axis=-1) / math.sqrt(2)
+        x = wn_linear_apply(lyr, x, compute_dtype=cdt)
         if l < n - 1:
             x = _softplus100(x)
+            if cdt is not None:
+                x = x.astype(cdt)
     return x
 
 
@@ -175,12 +190,17 @@ def appearance(
 ) -> jnp.ndarray:
     """Appearance MLP -> rgb in [0, 1]. view_dirs must already be PE-encoded
     unit directions as in the reference forward (network.py:128-132)."""
+    cdt = cfg._cdt
     x = jnp.concatenate([p, view_dirs, normals, feat], axis=-1)
+    if cdt is not None:
+        x = x.astype(cdt)
     n = len(params["app"])
     for l, lyr in enumerate(params["app"]):
-        x = wn_linear_apply(lyr, x)
+        x = wn_linear_apply(lyr, x, compute_dtype=cdt)
         if l < n - 1:
             x = jax.nn.relu(x)
+            if cdt is not None:
+                x = x.astype(cdt)
     return jnp.tanh(x) * 0.5 + 0.5
 
 

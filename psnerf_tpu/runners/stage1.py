@@ -105,6 +105,31 @@ class Stage1Runner:
         self._sample_jit = jax.jit(_sample_impl)
         self._sample = lambda view, key: self._sample_jit(
             self._device_data, view, key)
+
+        # "megastep": lax.scan of K full train iterations (view draw + batch
+        # sample + step) in ONE device dispatch. The per-step key schedule is
+        # identical to K passes of the single-step loop, so trajectories are
+        # unchanged; what it removes is the per-iteration host dispatch
+        # overhead (several ms each on a tunneled backend — it dominated the
+        # step time at demo configs).
+        def _mega_impl(dd, params, opt_state, key, it0, n_steps, use_outside):
+            def body(carry, i):
+                params, opt_state, key = carry
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                view = jax.random.randint(k1, (), 0, self.n_views)
+                batch = _sample_impl(dd, view, k2)
+                params, opt_state, terms = self.step_fn(
+                    params, opt_state, batch,
+                    (it0 + i).astype(jnp.float32), k3,
+                    use_outside=use_outside,
+                )
+                return (params, opt_state, key), terms
+
+            (params, opt_state, key), terms = jax.lax.scan(
+                body, (params, opt_state, key), jnp.arange(n_steps))
+            return params, opt_state, key, terms
+
+        self._mega_jit = jax.jit(_mega_impl, static_argnums=(5, 6))
         from psnerf_tpu.train.logging import MetricLogger
 
         self.logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
@@ -148,23 +173,33 @@ class Stage1Runner:
                 print(f"[stage1] wall budget reached at it={self.it}; "
                       "checkpointed for resume")
                 return self
-            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
-            view = jax.random.randint(k1, (), 0, self.n_views)
-            batch = self._sample(view, k2)
+            # chunk of steps in one dispatch, stopping at every cadence
+            # boundary (log/ckpt/vis/use_outside flip/max_iters) so the
+            # observable behavior matches the single-step loop exactly
+            bounds = [max_iters, self.it + 100]
+            for every in (log_every, ckpt_every, vis_every or 0):
+                if every:
+                    bounds.append((self.it // every + 1) * every)
+            if self.it <= 5000:
+                bounds.append(5001)  # use_outside flips at it > 5000
+            n_steps = max(1, min(bounds) - self.it)
             use_outside = self.it > 5000
-            self.params, self.opt_state, terms = self.step_fn(
-                self.params, self.opt_state, batch, float(self.it), k3,
-                use_outside=use_outside,
+            self.params, self.opt_state, self.key, terms_seq = self._mega_jit(
+                self._device_data, self.params, self.opt_state, self.key,
+                self.it, n_steps, use_outside,
             )
-            self.it += 1
+            self.it += n_steps
             if self.it % log_every == 0:
-                terms = {k: float(v) for k, v in terms.items()}
-                if not np.isfinite(terms["loss"]):
+                losses = np.asarray(terms_seq["loss"])
+                terms = {k: float(v[-1]) for k, v in terms_seq.items()}
+                if not np.isfinite(losses).all():
                     # the reference drops into a debugger on NaN
                     # (stage1/model/losses.py:67-68); halt loudly instead —
                     # the rolling checkpoint holds a pre-divergence state
+                    bad = int(np.argmax(~np.isfinite(losses)))
                     raise FloatingPointError(
-                        f"non-finite loss at it={self.it}: {terms}")
+                        f"non-finite loss at it={self.it - n_steps + bad + 1}:"
+                        f" {terms}")
                 dt = time.time() - t0
                 msg = (f"[stage1 it {self.it}] loss={terms['loss']:.4f} "
                        f"rgb={terms['fullrgb_loss']:.4f} "
@@ -227,13 +262,16 @@ class Stage1Runner:
             cache[key] = tile_fn
         tile_fn = cache[key]
 
-        chunks = []
+        # dispatch every tile before fetching any: device_get blocks, and on a
+        # tunneled backend each blocking round trip costs ~35 ms — queue all
+        # the work first so only the tail is paid once
         pose = data["poses"][view]
-        for s in range(0, n + pad, tile):
-            chunks.append(jax.device_get(
-                tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
-                        data["K"], pose)
-            ))
+        pending = [
+            tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
+                    data["K"], pose)
+            for s in range(0, n + pad, tile)
+        ]
+        chunks = [jax.device_get(c) for c in pending]
         out = {k: np.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]}
         return {
             "rgb": out["rgb"].reshape(h, w, 3),
@@ -385,11 +423,14 @@ class Stage1Runner:
                         np.float32).tolist()
                 ldir = jnp.asarray(ldir)
 
-            chunks = []
-            for s in range(0, n + pad, tile):
-                out = tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
-                              pose, ldir, visibility)
-                chunks.append(jax.device_get(out))
+            # queue all tiles, then fetch (one blocking tail instead of a
+            # ~35 ms tunnel round trip per tile)
+            pending = [
+                tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
+                        pose, ldir, visibility)
+                for s in range(0, n + pad, tile)
+            ]
+            chunks = [jax.device_get(o) for o in pending]
             cat = lambda k2, axis=0: np.concatenate(
                 [c[k2] for c in chunks], axis=axis)
             points = cat("points")[:n].reshape(h, w, 3)

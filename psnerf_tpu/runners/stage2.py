@@ -158,6 +158,34 @@ class Stage2Runner:
         self._sample = lambda view, key: self._sample_jit(
             self._device_data, self.light_init_dirs, view, key)
 
+        # "megastep": K full train iterations (view draw + batch sample +
+        # step) scanned inside ONE device dispatch — the per-iteration host
+        # round trips otherwise dominate (the jitted step itself is ~6 ms at
+        # the demo config; the single-step loop measured ~89 ms/it). The
+        # sampler works with a TRACED view (all per-view arrays are padded
+        # and stacked), so the whole body is scannable.
+        def _mega_impl(dd, init_dirs, params, opt_state, key, it0, n_steps):
+            def body(carry, i):
+                params, opt_state, key = carry
+                key, k1, k2 = jax.random.split(key, 3)
+                view = jax.random.randint(k1, (), 0, self.n_views)
+                batch = _sample_impl(dd, init_dirs, view, k2)
+                if not use_vp:
+                    # no vis_plus: supervise vis_train on the stage-1
+                    # visibility of this step's lights, frozen init dirs in
+                    batch["light_vis_train"] = init_dirs[view][batch["lidx"]]
+                params, opt_state, terms = self.step_fn(
+                    params, opt_state, batch,
+                    (it0 + i).astype(jnp.float32), k2,
+                )
+                return (params, opt_state, key), terms
+
+            (params, opt_state, key), terms = jax.lax.scan(
+                body, (params, opt_state, key), jnp.arange(n_steps))
+            return params, opt_state, key, terms
+
+        self._mega_jit = jax.jit(_mega_impl, static_argnums=(6,))
+
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int = 100,
               ckpt_every: int | None = None, on_log=None,
@@ -177,23 +205,29 @@ class Stage2Runner:
             if plot_every and self.it > 0 and self.it % plot_every == 0:
                 self.plot_to_disk(os.path.join(
                     self.workdir, "plots", f"it_{self.it}.png"))
-            self.key, k1, k2 = jax.random.split(self.key, 3)
-            view = int(jax.random.randint(k1, (), 0, self.n_views))
-            batch = self._sample(view, k2)
-            if not (self.cfg.vis_plus and "vis_plus" in self.data):
-                # no vis_plus: supervise vis_train on the stage-1 visibility
-                # of this step's lights, with frozen init dirs as net input
-                batch["light_vis_train"] = self.light_init_dirs[view][
-                    batch["lidx"]]
-            self.params, self.opt_state, terms = self.step_fn(
-                self.params, self.opt_state, batch, float(self.it), k2
+            # chunk of steps in one dispatch, stopping at every cadence
+            # boundary so logging/ckpt/plot behavior matches the single-step
+            # loop exactly
+            bounds = [max_iters, self.it + 100]
+            for every in (log_every, ckpt_every, plot_every or 0):
+                if every:
+                    bounds.append((self.it // every + 1) * every)
+            if self.it < self.tcfg.warmup_iters:
+                bounds.append(self.tcfg.warmup_iters)
+            n_steps = max(1, min(bounds) - self.it)
+            self.params, self.opt_state, self.key, terms_seq = self._mega_jit(
+                self._device_data, self.light_init_dirs, self.params,
+                self.opt_state, self.key, self.it, n_steps,
             )
-            self.it += 1
+            self.it += n_steps
             if self.it % log_every == 0:
-                terms = {k: float(v) for k, v in terms.items()}
-                if not np.isfinite(terms["loss"]):
+                losses = np.asarray(terms_seq["loss"])
+                terms = {k: float(v[-1]) for k, v in terms_seq.items()}
+                if not np.isfinite(losses).all():
+                    bad = int(np.argmax(~np.isfinite(losses)))
                     raise FloatingPointError(
-                        f"non-finite loss at it={self.it}: {terms}")
+                        f"non-finite loss at it={self.it - n_steps + bad + 1}:"
+                        f" {terms}")
                 mse2psnr = lambda x: -10.0 * np.log(x + 1e-8) / np.log(10.0)
                 lderr = float(light_direction_error_deg(
                     self.params["light_dirs"], self._gt_dirs_flat))

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--lights", type=int, default=16)
     ap.add_argument("--stage1-iters", type=int, default=1500)
     ap.add_argument("--stage2-iters", type=int, default=1500)
+    ap.add_argument("--s1-dtype", choices=("float32", "bfloat16"),
+                    default="bfloat16",
+                    help="activation storage dtype of the stage-1 field's "
+                         "differentiated pass (training is HBM-bound; "
+                         "bfloat16 halves the traffic, params stay f32)")
     ap.add_argument("--scene", choices=("sphere", "snowman"),
                     default="sphere",
                     help="snowman: non-convex two-sphere scene with analytic "
@@ -62,7 +67,8 @@ def main():
 
     cfg1 = Stage1Config(
         field=OccFieldConfig(num_layers=8, hidden_dim=256, feat_size=256,
-                             octaves_pe=6, octaves_pe_views=4),
+                             octaves_pe=6, octaves_pe_views=4,
+                             compute_dtype=args.s1_dtype),
         render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
                              interval_start=0.6, interval_end=0.05,
                              interval_decay=3e-4, num_points_in=32,
