@@ -1,10 +1,13 @@
-"""Training observability: JSONL scalar stream + image strips.
+"""Training observability: JSONL scalar stream (+ optional TensorBoard
+event files) + image strips.
 
-Replaces the reference's TensorBoard writers (stage1/train.py:79,
-stage2/trainer.py:89,437-457) with a dependency-free JSONL event log
-(one {"it": ..., "wall": ..., **scalars} per line — trivially plottable)
-and the stage-1 visualization strip (gt | render | normal | SDPS normal |
-MAE heatmap | mask | acc | phong; stage1/model/training.py:62-118).
+The primary log matching the reference's TensorBoard writers
+(stage1/train.py:79, stage2/trainer.py:89,437-457) is a dependency-free
+JSONL event stream (one {"it": ..., "wall": ..., **scalars} per line —
+trivially plottable with cli/plot_metrics.py). When the `tensorboard`
+package is importable and PSNERF_TENSORBOARD=1 (or tb_dir is passed),
+the same scalars are mirrored to TB event files so the reference's
+`tensorboard --logdir` workflow keeps working.
 """
 
 from __future__ import annotations
@@ -17,10 +20,20 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, path: str):
+    def __init__(self, path: str, tb_dir: str | None = None):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._f = open(path, "a", buffering=1)
         self._t0 = time.time()
+        self._tb = None
+        if tb_dir is None and os.environ.get("PSNERF_TENSORBOARD") == "1":
+            tb_dir = os.path.join(os.path.dirname(os.path.abspath(path)), "tb")
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tb_dir)
+            except Exception as e:  # tensorboard genuinely optional
+                print(f"[logging] tensorboard unavailable ({e}); JSONL only")
 
     def log(self, it: int, scalars: dict) -> None:
         rec = {"it": int(it), "wall": round(time.time() - self._t0, 3)}
@@ -32,8 +45,14 @@ class MetricLogger:
             except (TypeError, ValueError):
                 pass
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("it", "wall"):
+                    self._tb.add_scalar(k, v, int(it))
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
         self._f.close()
 
 

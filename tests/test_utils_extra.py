@@ -1,3 +1,4 @@
+import pytest
 import json
 import os
 
@@ -147,3 +148,25 @@ def test_load_envmap_exr_and_png(tmp_path):
     loaded = load_envmap(png, light_h=16)
     assert loaded.shape == (16, 32, 3)
     assert 0.0 <= loaded.min() and loaded.max() <= 1.0
+
+
+def test_metric_logger_tensorboard_mirror(tmp_path):
+    """Scalars mirror to TensorBoard event files when tb_dir is given
+    (reference workflow: tensorboard --logdir, stage2/trainer.py:89)."""
+    pytest.importorskip("tensorboard")
+    import glob
+
+    path = str(tmp_path / "m.jsonl")
+    log = MetricLogger(path, tb_dir=str(tmp_path / "tb"))
+    log.log(5, {"loss": 2.0})
+    log.log(10, {"loss": 1.0, "psnr": 30.0})
+    log.close()
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path / "tb"))
+    acc.Reload()
+    assert sorted(acc.Tags()["scalars"]) == ["loss", "psnr"]
+    assert [(s.step, s.value) for s in acc.Scalars("loss")] == [(5, 2.0), (10, 1.0)]
