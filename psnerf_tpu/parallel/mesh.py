@@ -82,3 +82,29 @@ def shard_stage1_batch(batch: dict, mesh: Mesh) -> dict:
         spec = P(RAY_AXIS) if k in _STAGE1_PIX0 else P()
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
+
+
+# ------------- traced variants: constrain batches SAMPLED inside a jit ------
+# (the runners' megastep samples on device inside a lax.scan; device_put is a
+# host-side op, so layout is pinned with with_sharding_constraint instead)
+
+def _constrain(batch: dict, mesh: Mesh, pix0, pix1=()) -> dict:
+    out = {}
+    for k, v in batch.items():
+        if k in pix0:
+            spec = P(RAY_AXIS)
+        elif k in pix1:
+            spec = P(None, RAY_AXIS)
+        else:
+            spec = P()
+        out[k] = jax.lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
+    return out
+
+
+def constrain_stage1_batch(batch: dict, mesh: Mesh) -> dict:
+    return _constrain(batch, mesh, _STAGE1_PIX0)
+
+
+def constrain_stage2_batch(batch: dict, mesh: Mesh) -> dict:
+    # lidx/l_slt/pix and light_vis_train stay replicated
+    return _constrain(batch, mesh, _STAGE2_PIX0, _STAGE2_PIX1)

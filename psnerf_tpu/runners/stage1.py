@@ -47,12 +47,20 @@ def _row_major_pixels(h, w):
 
 class Stage1Runner:
     def __init__(self, cfg: Stage1Config, workdir: str, seed: int = 0,
-                 resume: bool = True, use_fused_occ: bool | None = None):
+                 resume: bool = True, use_fused_occ: bool | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'rays' axis — training goes
+        data-parallel over the ray axis (params replicated, batches sharded,
+        gradient psum inserted by XLA over ICI). n_training_points must be
+        divisible by the mesh size."""
         # fused Pallas marching kernel: on by default on TPU; the CPU test
-        # platform falls back to the XLA path
+        # platform falls back to the XLA path. Under a mesh the XLA path is
+        # used (a pallas_call does not auto-partition under GSPMD) unless the
+        # caller forces the kernel on.
         if use_fused_occ is None:
-            use_fused_occ = jax.default_backend() == "tpu"
+            use_fused_occ = mesh is None and jax.default_backend() == "tpu"
         self.use_fused_occ = use_fused_occ
+        self.mesh = mesh
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -95,6 +103,19 @@ class Stage1Runner:
                              if isinstance(v, jnp.ndarray)}
         static_data = {k: v for k, v in self.data.items()
                        if not isinstance(v, jnp.ndarray)}
+        if mesh is not None:
+            from psnerf_tpu.parallel import replicate
+
+            n_dev = mesh.devices.size
+            assert self.tcfg.n_training_points % n_dev == 0, (
+                f"n_training_points={self.tcfg.n_training_points} not "
+                f"divisible by the {n_dev}-device mesh")
+            # replicate params/opt/key/data (dataset is small by design);
+            # batches get ray-sharded inside the megastep
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
+            self.key = replicate(self.key, mesh)
+            self._device_data = replicate(self._device_data, mesh)
 
         def _sample_impl(dd, view, key):
             return sample_stage1_batch(
@@ -118,6 +139,10 @@ class Stage1Runner:
                 key, k1, k2, k3 = jax.random.split(key, 4)
                 view = jax.random.randint(k1, (), 0, self.n_views)
                 batch = _sample_impl(dd, view, k2)
+                if self.mesh is not None:
+                    from psnerf_tpu.parallel import constrain_stage1_batch
+
+                    batch = constrain_stage1_batch(batch, self.mesh)
                 params, opt_state, terms = self.step_fn(
                     params, opt_state, batch,
                     (it0 + i).astype(jnp.float32), k3,

@@ -39,7 +39,12 @@ _to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 class Stage2Runner:
     def __init__(self, cfg: Stage2Config, workdir: str, seed: int = 0,
-                 resume: bool = True):
+                 resume: bool = True, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'rays' axis — training goes
+        data-parallel over the pixel axis (params + light tables replicated,
+        batches sharded, gradient psum inserted by XLA over ICI). num_pixels
+        must be divisible by the mesh size."""
+        self.mesh = mesh
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -145,6 +150,18 @@ class Stage2Runner:
         static_data = {k: v for k, v in self.data.items()
                        if not isinstance(v, jnp.ndarray)}
         use_vp = cfg.vis_plus and "vis_plus" in self.data
+        if mesh is not None:
+            from psnerf_tpu.parallel import replicate
+
+            n_dev = mesh.devices.size
+            assert self.num_pixels % n_dev == 0, (
+                f"num_pixels={self.num_pixels} not divisible by the "
+                f"{n_dev}-device mesh")
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
+            self.key = replicate(self.key, mesh)
+            self._device_data = replicate(self._device_data, mesh)
+            self.light_init_dirs = replicate(self.light_init_dirs, mesh)
 
         def _sample_impl(dd, init_dirs, view, key):
             return sample_stage2_batch(
@@ -170,6 +187,10 @@ class Stage2Runner:
                 key, k1, k2 = jax.random.split(key, 3)
                 view = jax.random.randint(k1, (), 0, self.n_views)
                 batch = _sample_impl(dd, init_dirs, view, k2)
+                if self.mesh is not None:
+                    from psnerf_tpu.parallel import constrain_stage2_batch
+
+                    batch = constrain_stage2_batch(batch, self.mesh)
                 if not use_vp:
                     # no vis_plus: supervise vis_train on the stage-1
                     # visibility of this step's lights, frozen init dirs in

@@ -135,3 +135,97 @@ def test_sharded_stage1_train_step_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stage1_runner_mesh_training_matches_single_device(tmp_path):
+    """Runner-level multi-chip API: Stage1Runner(mesh=...) must produce the
+    same trajectory as the single-device runner (same seed/key schedule) —
+    params replicated, batches ray-sharded, grad psum inserted by XLA."""
+    from psnerf_tpu.config import Stage1Config
+    from psnerf_tpu.data.synthetic import generate_synthetic_scene
+    from psnerf_tpu.fields.occupancy import OccFieldConfig
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+    from psnerf_tpu.train.losses import Stage1LossWeights
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig
+
+    d = str(tmp_path / "scene")
+    generate_synthetic_scene(d, n_views=2, n_test=0, n_lights=3, hw=(24, 24))
+    cfg = Stage1Config(
+        field=OccFieldConfig(num_layers=4, hidden_dim=32, feat_size=32,
+                             octaves_pe=2, octaves_pe_views=2, skips=(2,)),
+        render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                             interval_start=0.6, interval_end=0.05,
+                             interval_decay=1e-3, num_points_in=8,
+                             num_points_out=4, ray_marching_steps=16),
+        train=Stage1TrainConfig(learning_rate=1e-3, milestone_iters=(),
+                                n_training_points=64, normal_after=0,
+                                weights=Stage1LossWeights()),
+        data_dir=d, inten_normalize=None,
+        checkpoint_every=100000, backup_every=100000, visualize_every=0,
+    )
+    r_single = Stage1Runner(cfg, str(tmp_path / "s"), resume=False)
+    r_single.train(5, log_every=1000)
+
+    mesh = make_mesh(8)
+    r_mesh = Stage1Runner(cfg, str(tmp_path / "m"), resume=False, mesh=mesh)
+    r_mesh.train(5, log_every=1000)
+    for a, b in zip(jax.tree_util.tree_leaves(r_single.params),
+                    jax.tree_util.tree_leaves(r_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    # the mesh runner's params really live replicated on all 8 devices
+    leaf = jax.tree_util.tree_leaves(r_mesh.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_stage2_runner_mesh_training_matches_single_device(tmp_path):
+    from psnerf_tpu.config import Stage1Config, Stage2Config
+    from psnerf_tpu.data.synthetic import generate_synthetic_scene
+    from psnerf_tpu.fields.occupancy import OccFieldConfig
+    from psnerf_tpu.fields.psnet import PSNetConfig as PC
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+    from psnerf_tpu.runners.stage2 import Stage2Runner
+    from psnerf_tpu.train.losses import Stage1LossWeights, Stage2LossWeights
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig
+    from psnerf_tpu.train.stage2 import Stage2TrainConfig
+
+    d = str(tmp_path / "scene")
+    generate_synthetic_scene(d, n_views=2, n_test=0, n_lights=3, hw=(24, 24))
+    cfg1 = Stage1Config(
+        field=OccFieldConfig(num_layers=4, hidden_dim=32, feat_size=32,
+                             octaves_pe=2, octaves_pe_views=2, skips=(2,)),
+        render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                             interval_start=0.6, interval_end=0.05,
+                             interval_decay=1e-3, num_points_in=8,
+                             num_points_out=4, ray_marching_steps=16),
+        train=Stage1TrainConfig(n_training_points=64, normal_after=0,
+                                milestone_iters=(),
+                                weights=Stage1LossWeights()),
+        data_dir=d, inten_normalize=None,
+        checkpoint_every=100000, backup_every=100000, visualize_every=0,
+    )
+    r1 = Stage1Runner(cfg1, str(tmp_path / "s1"), resume=False)
+    exports = str(tmp_path / "exports")
+    r1.shape_extract(exports, visibility=True, vis_plus=True, vis_plus_num=4,
+                     tile=256, n_steps=16)
+
+    cfg2 = Stage2Config(
+        net=PC(mlp_width=16, mlp_depth=2, mlp_skip_at=-1, sg_mlp_width=8,
+               sg_mlp_depth=1, normal_mlp_width=16, normal_mlp_depth=2,
+               normal_mlp_skip_at=-1, vis_mlp_width=16, vis_mlp_depth=2,
+               vis_mlp_skip_at=-1, n_freqs_xyz=2, normal_n_freqs_xyz=2),
+        train=Stage2TrainConfig(warmup_iters=2, weights=Stage2LossWeights()),
+        data_dir=d, stage1_shape_path=exports, inten_normalize=None,
+        light_bs=2, num_pixels=32, train_all_pixels=False, vis_train_num=2)
+    rs = Stage2Runner(cfg2, str(tmp_path / "w1"), resume=False)
+    rs.train(5, log_every=1000)
+
+    rm = Stage2Runner(cfg2, str(tmp_path / "w2"), resume=False,
+                      mesh=make_mesh(8))
+    rm.train(5, log_every=1000)
+    for a, b in zip(jax.tree_util.tree_leaves(rs.params),
+                    jax.tree_util.tree_leaves(rm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
