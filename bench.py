@@ -171,6 +171,125 @@ class _nullcontext:
         return False
 
 
+def bench_stage1_train(n_steps=50, reps=3):
+    """Stage-1 training throughput at the full bear config (2048 rays x 256
+    marching steps, 64+32 integration samples), production path: fused Pallas
+    marching kernel + bf16 activation storage, n_steps scanned per dispatch
+    (the runners' megastep). Returns steps/sec."""
+    import dataclasses
+
+    import numpy as np
+
+    from psnerf_tpu.fields.occupancy import OccFieldConfig, init_occupancy_field
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig, make_stage1_train_step
+
+    fcfg = OccFieldConfig(compute_dtype="bfloat16")
+    rcfg = UnisurfConfig()
+    tcfg = Stage1TrainConfig(n_training_points=2048)
+    params = init_occupancy_field(jax.random.PRNGKey(0), fcfg)
+    init_opt, step = make_stage1_train_step(
+        fcfg, rcfg, tcfg, use_fused_occ=jax.default_backend() != "cpu")
+    opt_state = init_opt(params)
+
+    n = tcfg.n_training_points
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixels": jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32),
+        "rgb_gt": jnp.full((n, 3), 0.5),
+        "camera_mat": jnp.eye(4),
+        "world_mat": jnp.eye(4),
+        "normal_gt": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+        "norm_mask": jnp.ones((n,), bool),
+        "mask_gt": jnp.ones((n,)),
+        "mask_valid": jnp.ones((n,), bool),
+    }
+
+    @jax.jit
+    def many(params, opt_state, key):
+        def body(carry, i):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            params, opt_state, terms = step(
+                params, opt_state, batch, 6000.0 + i, k, use_outside=True)
+            return (params, opt_state, key), terms["loss"]
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), jnp.arange(n_steps))
+        return params, opt_state, losses
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, losses = many(params, opt_state, key)
+    _sync(losses)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, losses = many(params, opt_state, key)
+        _sync(losses)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return n_steps / times[len(times) // 2]
+
+
+def bench_stage2_train(n_steps=50, reps=3):
+    """Stage-2 training throughput at the bear config (8192 px x 10 lights,
+    full PSNet incl. 8x256 visibility MLP), n_steps scanned per dispatch.
+    Returns steps/sec."""
+    import numpy as np
+
+    from psnerf_tpu.fields.psnet import PSNetConfig, init_psnet
+    from psnerf_tpu.train.stage2 import (
+        Stage2TrainConfig, init_stage2_params, make_stage2_train_step)
+
+    cfg = PSNetConfig()
+    tcfg = Stage2TrainConfig()
+    L, lbs, n = 96, 10, 8192
+    rng = np.random.default_rng(0)
+    dirs0 = rng.normal(size=(L, 3))
+    dirs0 /= np.linalg.norm(dirs0, axis=-1, keepdims=True)
+    params = init_stage2_params(
+        init_psnet(jax.random.PRNGKey(0), cfg), dirs0, np.ones((L, 1)))
+    init_opt, step = make_stage2_train_step(cfg, tcfg)
+    opt_state = init_opt(params)
+    batch = {
+        "uv": jnp.asarray(rng.uniform(0, 512, (n, 2)), jnp.float32),
+        "pose": jnp.eye(4),
+        "intrinsics": jnp.eye(4),
+        "points": jnp.asarray(rng.normal(size=(n, 3)) * 0.3, jnp.float32),
+        "normal": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+        "surface_mask": jnp.ones((n,), bool),
+        "object_mask": jnp.ones((n,), bool),
+        "rgb_gt": jnp.full((lbs, n, 3), 0.5),
+        "l_slt": jnp.arange(lbs, dtype=jnp.int32),
+        "visibility": jnp.ones((lbs, n)),
+    }
+
+    @jax.jit
+    def many(params, opt_state, key):
+        def body(carry, i):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            params, opt_state, terms = step(
+                params, opt_state, batch, 6000.0 + i, k)
+            return (params, opt_state, key), terms["loss"]
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), jnp.arange(n_steps))
+        return params, opt_state, losses
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, losses = many(params, opt_state, key)
+    _sync(losses)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, losses = many(params, opt_state, key)
+        _sync(losses)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return n_steps / times[len(times) // 2]
+
+
 def bench_reference_style(cfg, params, args, light_chunk=64, px_chunk=1024,
                           sample_frac=8):
     """Reference loop structure with HOST-side dispatch per chunk
@@ -234,6 +353,8 @@ def main():
     dt_dev_bf16 = bench_reference_device(cfg, params, args,
                                          precision="default")
     dt_host = bench_reference_style(cfg, params, args)
+    s1_its = bench_stage1_train()
+    s2_its = bench_stage2_train()
     print(json.dumps({
         "metric": "stage2 multi-light render rays/sec/chip (512x512x96)",
         "value": round(rays / dt_fused, 1),
@@ -249,6 +370,9 @@ def main():
         # measured on THIS run: max |rgb_bf16_fused - rgb_f32_xla| over the
         # full 512x512x96 frame (values in [0,1])
         "bf16_rgb_max_abs_err": bf16_err,
+        # training throughput, bear configs, megastep path (50 steps/dispatch)
+        "stage1_train_it_s": round(s1_its, 1),
+        "stage2_train_it_s": round(s2_its, 1),
         "device": str(jax.devices()[0]),
         "notes": (
             "vs_baseline compares against the reference's chunked algorithm "

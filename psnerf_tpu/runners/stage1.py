@@ -410,18 +410,28 @@ class Stage1Runner:
         ckey = (tile, n_steps)
         if ckey not in cache:
 
-            @partial(jax.jit, static_argnames=("with_vis",))
-            def tile_fn(params, pix_tile, K, pose, light_dir, with_vis):
+            @jax.jit
+            def march_fn(params, pix_tile, K, pose):
                 return render_shape_extract(
                     params, cfg.field, cfg.render, pix_tile, K, pose,
-                    light_dir=light_dir if with_vis else None,
-                    n_steps=n_steps, occ_fn=self._occ_fn(params),
+                    light_dir=None, n_steps=n_steps,
+                    occ_fn=self._occ_fn(params),
                 )
 
-            cache[ckey] = tile_fn
-        _tile_fn = cache[ckey]
-        tile_fn = lambda params, pix_tile, pose, ldir, wv: _tile_fn(
-            params, pix_tile, data["K"], pose, ldir, wv)
+            @jax.jit
+            def vis_fn(params, surf_pts, light_dir):
+                from psnerf_tpu.fields.occupancy import occ_alpha
+                from psnerf_tpu.render.marching import light_visibility
+
+                occ_fn = self._occ_fn(params)
+                if occ_fn is None:
+                    occ_fn = lambda p: occ_alpha(params, p, cfg.field)
+                return light_visibility(occ_fn, surf_pts, light_dir)
+
+            cache[ckey] = (march_fn, vis_fn)
+        _march_fn, _vis_fn = cache[ckey]
+        march_fn = lambda params, pix_tile, pose: _march_fn(
+            params, pix_tile, data["K"], pose)
 
         rng = np.random.default_rng(seed)
         vis_plus_json = {}
@@ -448,11 +458,12 @@ class Stage1Runner:
                         np.float32).tolist()
                 ldir = jnp.asarray(ldir)
 
-            # queue all tiles, then fetch (one blocking tail instead of a
-            # ~35 ms tunnel round trip per tile)
+            # pass 1 — march + normals over all pixels; queue all tiles, then
+            # fetch (one blocking tail instead of a ~35 ms tunnel round trip
+            # per tile)
             pending = [
-                tile_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
-                        pose, ldir, visibility)
+                march_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
+                         pose)
                 for s in range(0, n + pad, tile)
             ]
             chunks = [jax.device_get(o) for o in pending]
@@ -469,7 +480,29 @@ class Stage1Runner:
             np.save(os.path.join(out_dir, "mask", name + ".npy"),
                     mask.astype(bool))
             if visibility:
-                vis = cat("visibility", axis=1)[:, :n].reshape(-1, h, w)
+                # pass 2 — visibility ONLY for surface pixels (the object mask
+                # typically covers ~25-40% of the frame; masked-out pixels are
+                # defined as vis=1.0, reference rendering.py:363-376). The
+                # surviving points are compacted, marched toward every light,
+                # and scattered back.
+                flat_mask = mask.reshape(-1).astype(bool)
+                surf_idx = np.nonzero(flat_mask)[0]
+                n_surf = len(surf_idx)
+                vpad = (-n_surf) % tile if n_surf else tile
+                idx_padded = np.concatenate(
+                    [surf_idx, np.zeros((vpad,), np.int64)])
+                pts_flat = points.reshape(-1, 3)
+                pending = [
+                    _vis_fn(self.params,
+                            jnp.asarray(pts_flat[idx_padded[s:s + tile]]),
+                            ldir)
+                    for s in range(0, n_surf + vpad, tile)
+                ]
+                vis_c = np.concatenate(
+                    [jax.device_get(o) for o in pending], axis=1)[:, :n_surf]
+                vis = np.ones((ldir.shape[0], n), np.float32)
+                vis[:, surf_idx] = vis_c
+                vis = vis.reshape(-1, h, w)
                 np.save(os.path.join(out_dir, "visibility", name + ".npy"),
                         vis[:n_ori].astype(np.float32))
                 if vis_plus:

@@ -123,11 +123,12 @@ def test_eval_paths_do_not_recompile_on_param_updates(scene_dir, tmp_path):
 
     ed = str(tmp_path / "exp")
     r.shape_extract(ed, visibility=True, vis_plus=False, tile=tile, n_steps=8)
-    efn = r._extract_fns[(tile, 8)]
-    ne = efn._cache_size()
+    march_fn, vis_fn = r._extract_fns[(tile, 8)]
+    nm, nv = march_fn._cache_size(), vis_fn._cache_size()
     r.train(3, log_every=1000, ckpt_every=1000)
     r.shape_extract(ed, visibility=True, vis_plus=False, tile=tile, n_steps=8)
-    assert efn._cache_size() == ne, "shape_extract recompiled after training"
+    assert march_fn._cache_size() == nm, "shape_extract recompiled (march)"
+    assert vis_fn._cache_size() == nv, "shape_extract recompiled (visibility)"
     assert np.isfinite(out1["rgb"]).all()
 
 
