@@ -30,7 +30,6 @@ from psnerf_tpu.fields.occupancy import init_occupancy_field
 from psnerf_tpu.mesh.extractor import extract_mesh, make_field_value_fn
 from psnerf_tpu.mesh.meshio import save_obj, save_ply
 from psnerf_tpu.ops.fps import farthest_point_sampling
-from psnerf_tpu.render.phong import render_phong
 from psnerf_tpu.render.unisurf import render_shape_extract, render_unisurf
 from psnerf_tpu.train.checkpoints import (
     latest_checkpoint,
@@ -276,12 +275,22 @@ class Stage1Runner:
                     it=1e5, key=None, use_outside=True, train=False,
                     occ_fn=self._occ_fn(params),
                 )
-                phong = render_phong(params, cfg.field, cfg.render, pix_tile,
-                                     K, pose)
+                # phong strip from the SAME march (render_phong re-marches
+                # 512 steps through the unfused field — same surface, ~2x
+                # eval cost; the standalone mode stays for parity,
+                # rendering.py:228-293)
+                from psnerf_tpu.render.phong import AMBIENT, DIFFUSE
+
+                light = pose[:3, 3] / jnp.linalg.norm(pose[:3, 3])
+                diffuse = jnp.maximum(
+                    out["normal_pred"] @ light, 0.0)[:, None] * DIFFUSE
+                phong_rgb = jnp.where(
+                    out["mask_pred"][:, None],
+                    jnp.minimum(AMBIENT + diffuse, 1.0), 1.0)
                 return {
                     "rgb": out["rgb"], "normal": out["normal_pred"],
                     "mask": out["mask_pred"], "acc": out["acc_map"],
-                    "phong": phong["rgb"],
+                    "phong": phong_rgb,
                 }
 
             cache[key] = tile_fn
