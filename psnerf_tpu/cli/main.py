@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--max-iters", type=int, default=100000)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=None,
+                   help="data-parallel training over the first N devices "
+                        "(1-D 'rays' mesh; params replicated, batches "
+                        "sharded, grad all-reduce over ICI)")
 
     p = sub.add_parser("stage1-eval")
     p.add_argument("config")
@@ -63,6 +67,8 @@ def main(argv=None):
     p.add_argument("--conf", required=True)
     p.add_argument("--workdir", default=None)
     p.add_argument("--max-iters", type=int, default=200000)
+    p.add_argument("--mesh-devices", type=int, default=None,
+                   help="data-parallel training over the first N devices")
 
     p = sub.add_parser("stage2-eval")
     p.add_argument("--conf", required=True)
@@ -121,8 +127,14 @@ def main(argv=None):
 
         cfg = stage1_config_from_yaml(args.config)
         workdir = args.workdir or cfg.out_dir
+        mesh = None
+        if getattr(args, "mesh_devices", None):
+            from psnerf_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh_devices)
         runner = Stage1Runner(cfg, workdir,
-                              resume=not getattr(args, "no_resume", False))
+                              resume=not getattr(args, "no_resume", False),
+                              mesh=mesh)
         if cmd == "stage1-train":
             runner.train(args.max_iters)
         elif cmd == "stage1-eval":
@@ -148,7 +160,12 @@ def main(argv=None):
 
         cfg = stage2_config_from_conf(args.conf)
         workdir = args.workdir or os.path.join("out2", cfg.obj_name, cfg.expname)
-        runner = Stage2Runner(cfg, workdir)
+        mesh = None
+        if getattr(args, "mesh_devices", None):
+            from psnerf_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh_devices)
+        runner = Stage2Runner(cfg, workdir, mesh=mesh)
         if cmd == "stage2-train":
             runner.train(args.max_iters, plot_every=cfg.plot_freq)
         else:

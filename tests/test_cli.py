@@ -207,3 +207,13 @@ def test_cli_full_workflow(workspace, capsys):
           "--edit_albedo", "--color", "#cc2010", "--edit_specular",
           "--basis", "3"])
     assert os.path.exists(f"{root}/edit/rgb/img/view_03/001.png")
+
+
+def test_cli_mesh_devices_training(workspace):
+    """--mesh-devices N trains data-parallel over an N-device mesh through
+    the CLI (the runner-level parity is pinned in test_parallel.py)."""
+    root = str(workspace)
+    main(["stage1-train", f"{root}/s1.yaml", "--max-iters", "4",
+          "--workdir", f"{root}/s1_mesh", "--no-resume",
+          "--mesh-devices", "8"])
+    assert os.path.exists(f"{root}/s1_mesh/checkpoints/model.npz")
