@@ -89,6 +89,9 @@ def render_unisurf(
     use_outside: bool = True,   # static: steps+steps_outside grid (it > 5000)
     train: bool = True,         # static: also produce jittered-normal pairs
     occ_fn=None,                # optional marching-occupancy override
+    radiance_fn=None,           # optional (p, ray_d) -> (rgb, alpha) override
+                                # for the integration megabatch (e.g. the
+                                # fused Pallas fwd+bwd kernel)
 ) -> dict:
     """Volumetric render with surface-adaptive sampling.
 
@@ -140,7 +143,10 @@ def render_unisurf(
     p_fg = cam[:, None, :] + ray[:, None, :] * d_all[..., None]  # [N, S, 3]
     ray_fg = jnp.broadcast_to(-ray[:, None, :], p_fg.shape)
 
-    rgb, alpha = radiance_and_alpha(field_params, p_fg, ray_fg, field_cfg)
+    if radiance_fn is None:
+        rgb, alpha = radiance_and_alpha(field_params, p_fg, ray_fg, field_cfg)
+    else:
+        rgb, alpha = radiance_fn(p_fg, ray_fg)
     weights = alpha_composite(alpha)  # [N, S]
     rgb_values = jnp.sum(weights[..., None] * rgb, axis=-2)  # [N, 3]
 

@@ -47,7 +47,7 @@ def _row_major_pixels(h, w):
 class Stage1Runner:
     def __init__(self, cfg: Stage1Config, workdir: str, seed: int = 0,
                  resume: bool = True, use_fused_occ: bool | None = None,
-                 mesh=None):
+                 use_fused_radiance: bool | None = None, mesh=None):
         """mesh: optional jax.sharding.Mesh with a 'rays' axis — training goes
         data-parallel over the ray axis (params replicated, batches sharded,
         gradient psum inserted by XLA over ICI). n_training_points must be
@@ -59,6 +59,17 @@ class Stage1Runner:
         if use_fused_occ is None:
             use_fused_occ = mesh is None and jax.default_backend() == "tpu"
         self.use_fused_occ = use_fused_occ
+        # fused fwd+bwd radiance kernel for the grad-tracked integration
+        # pass (opt-in; requires a supported architecture — see
+        # ops/fused_radiance.supports)
+        if use_fused_radiance is None:
+            use_fused_radiance = False
+        if use_fused_radiance:
+            from psnerf_tpu.ops.fused_radiance import supports
+
+            assert supports(cfg.field), (
+                "fused radiance kernel does not support this architecture")
+        self.use_fused_radiance = use_fused_radiance
         self.mesh = mesh
         self.cfg = cfg
         self.workdir = workdir
@@ -83,6 +94,7 @@ class Stage1Runner:
         self.params = init_occupancy_field(jax.random.PRNGKey(seed), cfg.field)
         init_opt, self.step_fn = make_stage1_train_step(
             cfg.field, cfg.render, self.tcfg, use_fused_occ=use_fused_occ,
+            use_fused_radiance=use_fused_radiance,
         )
         self.opt_state = init_opt(self.params)
         self.it = 0

@@ -37,7 +37,7 @@ class Stage1TrainConfig:
 
 def make_stage1_train_step(
     field_cfg: OccFieldConfig, rcfg: UnisurfConfig, tcfg: Stage1TrainConfig,
-    use_fused_occ: bool = False,
+    use_fused_occ: bool = False, use_fused_radiance: bool = False,
 ):
     """Returns (init_opt_state, step). step signature:
 
@@ -49,6 +49,9 @@ def make_stage1_train_step(
            mask_gt [N] float, mask_valid [N] bool.
     use_fused_occ: run the (no-grad) ray-marching occupancy queries through
     the Pallas fused kernel (TPU only).
+    use_fused_radiance: run the grad-tracked integration megabatch (radiance
+    + alpha + analytic normals + appearance, fwd AND bwd) through the fused
+    Pallas kernel pair (ops/fused_radiance.py; TPU only).
     """
 
     def loss_fn(params, batch, it, key, use_outside):
@@ -57,11 +60,19 @@ def make_stage1_train_step(
             from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
 
             occ_fn = make_fused_occ_fn(params, field_cfg)
+        radiance_fn = None
+        if use_fused_radiance:
+            from psnerf_tpu.ops.fused_radiance import fused_radiance_and_alpha
+
+            radiance_fn = lambda p, rd: fused_radiance_and_alpha(
+                params, p, rd, field_cfg,
+                compute=("bfloat16" if field_cfg.compute_dtype == "bfloat16"
+                         else "float32"))
         out = render_unisurf(
             params, field_cfg, rcfg,
             batch["pixels"], batch["camera_mat"], batch["world_mat"],
             it=it, key=key, use_outside=use_outside, train=True,
-            occ_fn=occ_fn,
+            occ_fn=occ_fn, radiance_fn=radiance_fn,
         )
         # gate SDPS-normal supervision on iteration (training.py:187)
         norm_mask = batch["norm_mask"] & (it >= tcfg.normal_after)
