@@ -86,3 +86,60 @@ def test_padding_and_batch_shape(setup):
     assert rgb.shape == (8, 25, 3) and alpha.shape == (8, 25)
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_wiring(setup):
+    """make_stage1_train_step(use_fused_radiance=True) must produce the same
+    update as the plain step (the kernel replaces only the integration
+    megabatch; marching/normal-smoothness paths are shared)."""
+    import dataclasses
+
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.train.losses import Stage1LossWeights
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig, make_stage1_train_step
+    from psnerf_tpu.ops import fused_radiance
+
+    params, _, _ = setup
+    rcfg = UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                         interval_start=0.6, interval_end=0.05,
+                         interval_decay=1e-3, num_points_in=8,
+                         num_points_out=4, ray_marching_steps=16)
+    tcfg = Stage1TrainConfig(learning_rate=1e-3, milestone_iters=(),
+                             n_training_points=32, normal_after=0,
+                             weights=Stage1LossWeights())
+    n = 32
+    k = jax.random.PRNGKey(3)
+    batch = {
+        "pixels": jax.random.uniform(k, (n, 2), minval=-0.5, maxval=0.5),
+        "rgb_gt": jnp.full((n, 3), 0.4),
+        "camera_mat": jnp.eye(4),
+        "world_mat": jnp.eye(4).at[2, 3].set(-3.0),
+        "normal_gt": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+        "norm_mask": jnp.ones((n,), bool),
+        "mask_gt": jnp.ones((n,)),
+        "mask_valid": jnp.ones((n,), bool),
+    }
+
+    init_opt, step_ref = make_stage1_train_step(CFG, rcfg, tcfg)
+    opt0 = init_opt(params)
+    p_ref, _, t_ref = step_ref(params, opt0, batch, 100.0,
+                               jax.random.PRNGKey(5), use_outside=True)
+
+    # interpret-mode kernel on CPU: patch the default pallas path
+    orig = fused_radiance.fused_radiance_and_alpha
+    import functools
+    patched = functools.partial(orig, interpret=True, tile=128)
+    fused_radiance.fused_radiance_and_alpha = patched
+    try:
+        _, step_fused = make_stage1_train_step(CFG, rcfg, tcfg,
+                                               use_fused_radiance=True)
+        p_f, _, t_f = step_fused(params, opt0, batch, 100.0,
+                                 jax.random.PRNGKey(5), use_outside=True)
+    finally:
+        fused_radiance.fused_radiance_and_alpha = orig
+
+    assert abs(float(t_f["loss"]) - float(t_ref["loss"])) < 2e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-4)
