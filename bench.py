@@ -188,8 +188,9 @@ def bench_stage1_train(n_steps=50, reps=3):
     rcfg = UnisurfConfig()
     tcfg = Stage1TrainConfig(n_training_points=2048)
     params = init_occupancy_field(jax.random.PRNGKey(0), fcfg)
+    on_tpu = jax.default_backend() != "cpu"
     init_opt, step = make_stage1_train_step(
-        fcfg, rcfg, tcfg, use_fused_occ=jax.default_backend() != "cpu")
+        fcfg, rcfg, tcfg, use_fused_occ=on_tpu, use_fused_radiance=on_tpu)
     opt_state = init_opt(params)
 
     n = tcfg.n_training_points

@@ -149,7 +149,7 @@ def _forward_core(r, em, vpe, p3, dpe3, *, skip_pos, wdt):
         z.append(zi)
         a.append(_sp(zi))
     feat = dot(a[-1], r["w8f"]) + r["b8f"][0][None, :]       # [T, W]
-    logit = jnp.sum(a[-1] * r["w8l"][0][None, :], axis=1) + r["b8l"][0, 0]
+    logit = jnp.sum(a[-1] * r["w8l"][0][None, :], axis=1) + r["b8l"]
 
     # reverse sweep: g_e = d logit / d em
     sprime = [jax.nn.sigmoid(100.0 * zi) for zi in z]
@@ -185,7 +185,9 @@ def _forward_core(r, em, vpe, p3, dpe3, *, skip_pos, wdt):
 
 
 def _read_refs(args):
-    return {k: v[:] for k, v in zip(PACK_ORDER, args)}
+    # b8l lives in SMEM: compiled Mosaic only loads scalars from SMEM
+    return {k: (v[0, 0] if k == "b8l" else v[:])
+            for k, v in zip(PACK_ORDER, args)}
 
 
 def _fwd_kernel(em, vpe, p3, dpe, *args, skip_pos, wdt):
@@ -203,6 +205,14 @@ def _fwd_kernel(em, vpe, p3, dpe, *args, skip_pos, wdt):
 def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
     f32 = jnp.float32
     cast = lambda x: x.astype(wdt)
+
+    def sum0(x, row=0, n_rows=8):
+        # column sums of x [T, W] placed into row `row` of an [n_rows, W]
+        # result, computed as a row-select matmul — Mosaic rejects plain
+        # axis-0 reductions to [1, W] here (replicated-layout relayout bug)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, x.shape[0]), 0)
+               == row).astype(f32)
+        return jnp.dot(sel, x, preferred_element_type=f32)
     n_w = len(PACK_ORDER)
     r = _read_refs(args[:n_w])
     grefs = dict(zip(["d_" + k for k in PACK_ORDER], args[n_w:]))
@@ -227,37 +237,37 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
 
     grefs["d_wa4"][:] += jnp.dot(cast(c["aa"][-1]).T, cast(g_rgb),
                                  preferred_element_type=f32)
-    grefs["d_ba4"][:] += jnp.sum(g_rgb, axis=0, keepdims=True)
+    grefs["d_ba4"][:] += sum0(g_rgb)
     gz = jnp.dot(cast(g_rgb), r["wa4"].T, preferred_element_type=f32)
     for j in range(r["wa"].shape[0] - 1, -1, -1):
         gz = gz * (c["za"][j + 1] > 0)
         grefs["d_wa"][j] += jnp.dot(cast(c["aa"][j]).T, cast(gz),
                                     preferred_element_type=f32)
-        grefs["d_bab"][j] += jnp.sum(gz, axis=0)
+        grefs["d_bab"][j] += sum0(gz)
         gz = jnp.dot(cast(gz), r["wa"][j].T, preferred_element_type=f32)
     gz = gz * (c["za"][0] > 0)                                 # app-L0 z-bar
     grefs["d_wv"][:] += jnp.dot(cast(vpe_).T, cast(gz),
                                 preferred_element_type=f32)
     grefs["d_wf"][:] += jnp.dot(cast(c["feat"]).T, cast(gz),
                                 preferred_element_type=f32)
-    grefs["d_ba0"][:] += jnp.sum(gz, axis=0, keepdims=True)
+    grefs["d_ba0"][:] += sum0(gz)
     g_n = []
     for j in range(3):
-        grefs["d_wp"][j] += jnp.sum(p3_[:, j][:, None] * gz, axis=0)
-        grefs["d_wn"][j] += jnp.sum(c["n3"][j][:, None] * gz, axis=0)
+        grefs["d_wp"][:] += sum0(p3_[:, j][:, None] * gz, row=j)
+        grefs["d_wn"][:] += sum0(c["n3"][j][:, None] * gz, row=j)
         g_n.append(jnp.sum(gz * r["wn"][j][None, :].astype(f32), axis=1))
     g_feat = jnp.dot(cast(gz), r["wf"].T, preferred_element_type=f32)
 
     # ---- first-order seeds through the split geo head ------------------
     grefs["d_w8f"][:] += jnp.dot(cast(a[-1]).T, cast(g_feat),
                                  preferred_element_type=f32)
-    grefs["d_b8f"][:] += jnp.sum(g_feat, axis=0, keepdims=True)
-    grefs["d_w8l"][0] += jnp.sum(g_logit[:, None] * a[-1], axis=0)
+    grefs["d_b8f"][:] += sum0(g_feat)
+    grefs["d_w8l"][:] += sum0(g_logit[:, None] * a[-1])
     # d_b8l uses an (8, LANES) block (a (1,1) VMEM output block would
     # violate the f32 tiling minimum); only [0, 0] is meaningful
-    grefs["d_b8l"][0] += jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (LANES,), 0) == 0,
-        jnp.sum(g_logit), 0.0)
+    onecol = (jax.lax.broadcasted_iota(
+        jnp.int32, (g_up.shape[0], LANES), 1) == 0).astype(f32)
+    grefs["d_b8l"][:] += sum0(g_logit[:, None] * onecol)
     h_bar = (jnp.dot(cast(g_feat), r["w8f"].T, preferred_element_type=f32)
              + g_logit[:, None] * r["w8l"][0][None, :].astype(f32))
 
@@ -278,7 +288,7 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
         t_prev = sprime[i + 1] * tzi
         t_list.append(t_prev)
     # s = t_a7 . w8l[0]  (per point), summed into the loss
-    grefs["d_w8l"][0] += jnp.sum(t_list[-1], axis=0)
+    grefs["d_w8l"][:] += sum0(t_list[-1])
     t_bar = jnp.broadcast_to(r["w8l"][0].astype(f32)[None, :], a[-1].shape)
 
     # ---- doubled reverse sweep through the trunk -----------------------
@@ -290,7 +300,7 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
             jnp.dot(cast(a[i - 1]).T, cast(z_bar), preferred_element_type=f32)
             + jnp.dot(cast(t_list[i - 1]).T, cast(tz_bar),
                       preferred_element_type=f32))
-        grefs["d_trunk_b"][i - 1] += jnp.sum(z_bar, axis=0)
+        grefs["d_trunk_b"][i - 1] += sum0(z_bar)
         if i - 1 == skip_pos:
             grefs["d_wskip_pe"][:] += (
                 jnp.dot(cast(em_).T, cast(z_bar), preferred_element_type=f32)
@@ -305,7 +315,7 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
     grefs["d_w0"][:] += (
         jnp.dot(cast(em_).T, cast(z_bar), preferred_element_type=f32)
         + jnp.dot(cast(c_e).T, cast(tz_bar), preferred_element_type=f32))
-    grefs["d_b0"][:] += jnp.sum(z_bar, axis=0, keepdims=True)
+    grefs["d_b0"][:] += sum0(z_bar)
 
 
 def _w_shapes(cfg: OccFieldConfig):
@@ -348,7 +358,12 @@ def _build(cfg: OccFieldConfig, n: int, tile: int, interpret: bool, wdt):
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
-    gshapes = dict(shapes, b8l=(8, LANES))   # see d_b8l note in the kernel
+    # bias/vector grads widen to 8-row blocks (see sum0 in the kernel)
+    width = cfg.hidden_dim
+    n_trunk = cfg.num_layers - 1
+    gshapes = dict(shapes, b8l=(8, LANES), b0=(8, width),
+                   trunk_b=(n_trunk, 8, width), b8f=(8, width),
+                   ba0=(8, width), bab=(3, 8, width), ba4=(8, APP_OUT))
     bwd = pl.pallas_call(
         partial(_bwd_kernel, skip_pos=skip_pos, wdt=wdt),
         grid=(n // tile,),
@@ -412,8 +427,13 @@ def _op_bwd(cfg, tile, interpret, compute, res, g_out):
     grads = bwd(em, vpe, p3, dpe, g_out, *[packed[k] for k in PACK_ORDER])
     packed_bar = {}
     for k, g in zip(PACK_ORDER, grads):
+        # bias grads come back in widened 8-row blocks; row 0 is the value
         if k == "b8l":
-            g = g[0:1, 0:1]              # (8, LANES) block -> the (1,1) bias
+            g = g[0:1, 0:1]
+        elif k in ("b0", "b8f", "ba0", "ba4"):
+            g = g[0:1]
+        elif k in ("trunk_b", "bab"):
+            g = g[:, 0]
         packed_bar[k] = g.astype(packed[k].dtype)
     z = jnp.zeros_like
     return packed_bar, z(em), z(vpe), z(p3), z(dpe)

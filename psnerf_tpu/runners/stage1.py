@@ -60,13 +60,16 @@ class Stage1Runner:
             use_fused_occ = mesh is None and jax.default_backend() == "tpu"
         self.use_fused_occ = use_fused_occ
         # fused fwd+bwd radiance kernel for the grad-tracked integration
-        # pass (opt-in; requires a supported architecture — see
-        # ops/fused_radiance.supports)
-        if use_fused_radiance is None:
-            use_fused_radiance = False
-        if use_fused_radiance:
-            from psnerf_tpu.ops.fused_radiance import supports
+        # pass: on by default on TPU when the architecture fits its layout
+        # (measured ~5x on the pass: 197k-pt fwd+bwd ~10 ms device vs ~50 ms
+        # through XLA autodiff)
+        from psnerf_tpu.ops.fused_radiance import supports
 
+        if use_fused_radiance is None:
+            use_fused_radiance = (mesh is None
+                                  and jax.default_backend() == "tpu"
+                                  and supports(cfg.field))
+        if use_fused_radiance:
             assert supports(cfg.field), (
                 "fused radiance kernel does not support this architecture")
         self.use_fused_radiance = use_fused_radiance
