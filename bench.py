@@ -28,8 +28,10 @@ def setup():
     from psnerf_tpu.fields import PSNetConfig, init_psnet
 
     # full bear config: 9x3 SG basis, vis MLP 8x256. bf16 matmuls + the
-    # Pallas fused vis kernel are the production eval path: final rgb differs
-    # from the f32 XLA path by < 1e-4 (below 8-bit quantization).
+    # Pallas fused vis kernel are the production eval path; the rgb delta vs
+    # the true-f32 XLA path is measured fresh on EVERY run and reported as
+    # bf16_rgb_max_abs_err (max over all 512*512*96 values in [0,1] — a
+    # worst-case stat; quality parity is gated in tests/eval on real scenes).
     cfg = PSNetConfig(compute_dtype="bfloat16")
     params = init_psnet(jax.random.PRNGKey(0), cfg)
 
@@ -113,7 +115,8 @@ def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
     precision: "float32" pins true-f32 matmuls, faithful to the torch
     reference's numerics (torch CUDA matmuls are f32; it never validated a
     bf16 path). "default" lets XLA use bf16 multiplication passes — the same
-    trade OUR pipeline makes deliberately (with measured <1e-4 rgb parity);
+    trade OUR pipeline makes deliberately (rgb delta measured every run as
+    bf16_rgb_max_abs_err in the output line);
     reported separately for transparency."""
     import dataclasses
 
