@@ -64,8 +64,10 @@ def make_stage1_train_step(
         if use_fused_radiance:
             from psnerf_tpu.ops.fused_radiance import fused_radiance_and_alpha
 
+            # tile=512 measured ~3% faster than 256 at the bear-config
+            # megabatch (2048x96 points); 1024 regresses
             radiance_fn = lambda p, rd: fused_radiance_and_alpha(
-                params, p, rd, field_cfg,
+                params, p, rd, field_cfg, tile=512,
                 compute=("bfloat16" if field_cfg.compute_dtype == "bfloat16"
                          else "float32"))
         out = render_unisurf(
