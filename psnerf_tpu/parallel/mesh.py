@@ -84,6 +84,33 @@ def shard_stage1_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def shard_stage2_batch_2d(batch: dict, mesh: Mesh) -> dict:
+    """Lay a stage-2 batch over a 2-D (rays x lights) mesh: per-pixel keys
+    shard over the ray axis, per-(light, pixel) keys over BOTH axes, and the
+    light-index row over the light axis. XLA inserts the light-axis reduction
+    collectives the loss sums need (SURVEY.md §2.b). The training light count
+    must divide the light-axis size; vis-train lights stay ray-sharded only
+    (their count is schedule-dependent)."""
+    n_light = mesh.shape[LIGHT_AXIS]
+    out = {}
+    for k, v in batch.items():
+        if k in _STAGE2_PIX0:
+            spec = P(RAY_AXIS)
+        elif k in ("rgb_gt", "visibility"):
+            assert v.shape[0] % n_light == 0, (
+                f"{k}: light count {v.shape[0]} not divisible by the "
+                f"{n_light}-device light axis")
+            spec = P(LIGHT_AXIS, RAY_AXIS)
+        elif k == "l_slt":
+            spec = P(LIGHT_AXIS)
+        elif k == "vis_train_gt":
+            spec = P(None, RAY_AXIS)
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
 # ------------- traced variants: constrain batches SAMPLED inside a jit ------
 # (the runners' megastep samples on device inside a lax.scan; device_put is a
 # host-side op, so layout is pinned with with_sharding_constraint instead)

@@ -84,6 +84,39 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_sharded_train_step_2d_rays_x_lights_matches_single_device():
+    """2-D (rays x lights) GSPMD train step: rgb_gt/visibility sharded over
+    BOTH mesh axes and l_slt over the light axis must reproduce the
+    single-device step (XLA inserts the light-axis loss reductions)."""
+    from psnerf_tpu.parallel.mesh import make_mesh_2d, shard_stage2_batch_2d
+    from psnerf_tpu.train import Stage2TrainConfig, make_stage2_train_step
+    from psnerf_tpu.train.stage2 import init_stage2_params
+    from tests.test_train import _stage2_batch
+
+    tcfg = Stage2TrainConfig(milestone_iters=(), train_order=False)
+    model = init_psnet(jax.random.PRNGKey(0), CFG)
+    dirs0 = jax.random.normal(jax.random.PRNGKey(3), (12, 3))
+    dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True)
+    params = init_stage2_params(model, dirs0, jnp.full((12, 1), 1.0))
+    init_opt, step = make_stage2_train_step(CFG, tcfg)
+    opt = init_opt(params)
+    batch = _stage2_batch(n=64, l=4)
+
+    p1, o1, t1 = step(params, opt, batch, 10.0, jax.random.PRNGKey(0))
+
+    mesh = make_mesh_2d(4, 2)
+    with mesh:
+        pr = replicate(params, mesh)
+        orr = replicate(opt, mesh)
+        sb = shard_stage2_batch_2d(batch, mesh)
+        p2, o2, t2 = step(pr, orr, sb, 10.0, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(t1["loss"]), float(t2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_sharded_frame_2d_rays_x_lights():
     """4 ray-devices x 2 light-devices: the 2-D sharded render must match the
     single-device frame."""
