@@ -101,11 +101,13 @@ def measure_bf16_parity(cfg, params, args, rgb_fused):
     return round(err, 6)
 
 
-def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
+def bench_reference_device(cfg, params, args, light_chunk=64, px_chunk=1024,
                            reps=3, precision="float32"):
     """Reference ALGORITHM as one compiled program: the 64-light x 1024-pixel
-    chunk structure (stage2/eval.py:347-365) executed back-to-back on device
-    (lax.map over all chunks), per-point heads recomputed for every light
+    chunk structure (stage2/eval.py:347-365, --light_batch default 64 at
+    :442) executed back-to-back on device (lax.map over the full chunks +
+    one remainder call, so 96 lights run as 64+32 exactly like the
+    reference), per-point heads recomputed for every light
     chunk as the reference does. This is a conservative LOWER bound on the
     reference's per-frame cost — it removes all of the reference's Python
     dispatch and host<->device overhead and runs its kernels on the same TPU.
@@ -128,7 +130,8 @@ def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
     ray_dirs, _ = get_camera_params(uv, pose, K)
     n = uv.shape[0]
     n_px = n // px_chunk
-    n_lc = N_LIGHTS // light_chunk
+    n_full = N_LIGHTS // light_chunk
+    n_rem = N_LIGHTS % light_chunk
 
     @jax.jit
     def frame(params):
@@ -138,8 +141,8 @@ def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
             mask.reshape(n_px, px_chunk),
             ray_dirs.reshape(n_px, px_chunk, 3),
         )
-        ld = ldirs.reshape(n_lc, light_chunk, 3)
-        li = lints.reshape(n_lc, light_chunk)
+        ld = ldirs[: n_full * light_chunk].reshape(n_full, light_chunk, 3)
+        li = lints[: n_full * light_chunk].reshape(n_full, light_chunk)
 
         def px_tile(t):
             p, nr, msk, r = t
@@ -147,7 +150,15 @@ def bench_reference_device(cfg, params, args, light_chunk=48, px_chunk=1024,
             def light_chunk_fn(i):
                 return render_psnet(params, cfg, p, nr, msk, r, ld[i], li[i])["rgb"]
 
-            return jax.lax.map(light_chunk_fn, jnp.arange(n_lc))
+            out = jax.lax.map(light_chunk_fn, jnp.arange(n_full))
+            out = out.reshape(n_full * light_chunk, px_chunk, 3)
+            if n_rem:
+                rem = render_psnet(
+                    params, cfg, p, nr, msk, r,
+                    ldirs[n_full * light_chunk:],
+                    lints[n_full * light_chunk:])["rgb"]
+                out = jnp.concatenate([out, rem], axis=0)
+            return out
 
         return jax.lax.map(px_tile, tiles)
 

@@ -32,7 +32,7 @@ _FUSED_SHADE_OUTPUTS = frozenset(
 
 def _render_frame_fused_shade(
     params, cfg, ray_dirs, points, normals, surface_mask,
-    light_dirs, light_ints, outputs, k_tile,
+    light_dirs, light_ints, outputs, k_tile, interpret=False,
 ) -> dict:
     """One kernel family for the whole frame: per-point heads in XLA (tiny),
     then the Pallas vis+shade kernel emits rgb (or its light-axis sum)
@@ -56,7 +56,7 @@ def _render_frame_fused_shade(
             heads["normal"], -ray_dirs, heads["albedo"], heads["weights"],
             surface_mask, light_dirs, light_ints,
             nbasis=cfg.nbasis, specular_rgb=cfg.specular_rgb,
-            sum_lights=sum_only, tile=k_tile,
+            sum_lights=sum_only, tile=k_tile, interpret=interpret,
             layout="cnl" if want_cnl and not want_rgb else "lnc",
         )
         if sum_only:
@@ -94,6 +94,7 @@ def render_frame_stage2(
     tile: int = 4096,
     outputs: tuple = ("rgb",),
     use_fused_vis: bool = False,
+    fused_interpret: bool = False,
 ) -> dict:
     """Render every pixel under every light. N must be divisible by `tile`
     (callers pad the frame). Returns {name: [L, N, ...] or [N, ...]}.
@@ -114,6 +115,7 @@ def render_frame_stage2(
         return _render_frame_fused_shade(
             params, cfg, ray_dirs, points, normals, surface_mask,
             light_dirs, light_ints, outputs, k_tile,
+            interpret=fused_interpret,
         )
 
     vis_pre = None
@@ -125,7 +127,8 @@ def render_frame_stage2(
         light_emb = nerf_embed(light_dirs, cfg.n_freqs_xyz)
         k_tile = 1024 if n % 1024 == 0 else 256
         vis_pre = fused_visibility(
-            params["visibility"], point_emb, light_emb, tile=k_tile
+            params["visibility"], point_emb, light_emb, tile=k_tile,
+            interpret=fused_interpret,
         )[..., None]  # [L, N, 1]
 
     def render_tile(args):

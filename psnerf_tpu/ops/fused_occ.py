@@ -141,24 +141,46 @@ def fused_occ_logit(
 
 
 def make_fused_occ_fn(params: dict, cfg: OccFieldConfig, tile: int = 1024,
-                      interpret: bool = False):
+                      interpret: bool = False, mesh=None):
     """occupancy-probability closure p[N,3] -> alpha[N] (pads N to the tile),
     for marching / visibility / mesh evaluation call sites.
 
     The kernel is forward-only and all its call sites are no-grad regions
     (the reference wraps them in torch.no_grad); inputs are stop_gradient'd
     so autodiff never attempts to linearize through the pallas_call even when
-    `params` are traced inside a surrounding value_and_grad."""
+    `params` are traced inside a surrounding value_and_grad.
+
+    mesh: optional jax.sharding.Mesh with a 'rays' axis. A pallas_call does
+    not auto-partition under GSPMD, so under a mesh the kernel runs inside a
+    shard_map over the point axis — each device marches its point shard with
+    the same VMEM-resident program (points are embarrassingly parallel; no
+    collectives)."""
+
+    def _run(sg_params, p):
+        logit = fused_occ_logit(sg_params, p, cfg, tile=tile,
+                                interpret=interpret)
+        return jax.nn.sigmoid(-10.0 * logit)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from psnerf_tpu.parallel.mesh import RAY_AXIS
+
+        n_dev = mesh.shape[RAY_AXIS]
+        run_sharded = jax.shard_map(
+            _run, mesh=mesh, in_specs=(P(), P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS), check_vma=False,
+        )
 
     def occ_fn(p):
         sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
         p = jax.lax.stop_gradient(p)
         n = p.shape[0]
-        pad = (-n) % tile
+        quantum = tile * (n_dev if mesh is not None else 1)
+        pad = (-n) % quantum
         if pad:
             p = jnp.concatenate([p, jnp.zeros((pad, 3), p.dtype)])
-        logit = fused_occ_logit(sg_params, p, cfg, tile=tile,
-                                interpret=interpret)
-        return jax.nn.sigmoid(-10.0 * logit[:n])
+        run = run_sharded if mesh is not None else _run
+        return run(sg_params, p)[:n]
 
     return occ_fn

@@ -62,6 +62,24 @@ def _sp(x):
     return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
 
 
+def _sp_sig(x):
+    """softplus(100x)/100 and its derivative sigmoid(100x) from ONE exp.
+
+    The trunk is evaluated at [T, 256] x 8 layers in both kernels and needs
+    BOTH values; jnp.softplus + jax.nn.sigmoid would issue two transcendental
+    passes per layer on the VPU — at the megabatch this is a measured
+    bottleneck of the forward kernel (MXU sits at ~40% while the VPU chews
+    exps). e = exp(-|100x|) serves both stably:
+      softplus(bx) = max(bx, 0) + log1p(e),  sigmoid(bx) = 1/(1+e) | e/(1+e).
+    """
+    bx = 100.0 * x
+    e = jnp.exp(-jnp.abs(bx))
+    sp = (jnp.maximum(bx, 0.0) + jnp.log1p(e)) / 100.0
+    inv = 1.0 / (1.0 + e)
+    sig = jnp.where(bx >= 0, inv, e * inv)
+    return sp, sig
+
+
 def supports(cfg: OccFieldConfig) -> bool:
     """True iff this architecture fits the kernel's layout assumptions
     (the reference bear config does)."""
@@ -130,40 +148,72 @@ def _pack(params: dict, cfg: OccFieldConfig, wdt) -> dict:
     }
 
 
-def _forward_core(r, em, vpe, p3, dpe3, *, skip_pos, wdt):
-    """Shared primal computation for one tile (plain VMEM values)."""
+def _dTn(x, y, wdt):
+    """x [T, A], y [T, B] -> x^T y [A, B]: contraction on dim 0 of both
+    operands, so Mosaic feeds the MXU directly without materializing a
+    transpose (a VPU relayout at [T, 256] scale)."""
+    return jax.lax.dot_general(
+        x.astype(wdt), y.astype(wdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dnT(x, w, wdt):
+    """x [T, B], w [A, B] -> x w^T [T, A] without materializing w^T."""
+    return jax.lax.dot_general(
+        x.astype(wdt), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _p8(x):
+    """[T, W] -> [8, W] partial column sums on the VPU (row r holds the sum
+    of rows r, r+8, r+16, ...). Replaces the old row-select matmul (an
+    M=8 MXU pass at ~6% utilization); callers sum the 8 rows OUTSIDE the
+    kernel (cheap XLA) to finish the reduction."""
+    t = x.shape[0]
+    return x.reshape(t // 8, 8, x.shape[1]).sum(axis=0)
+
+
+def _forward_core(r, em, vpe, p3, dpe3, *, skip_pos, wdt, g_e_in=None):
+    """Shared primal computation for one tile (plain VMEM values).
+
+    g_e_in: the logit-vs-embedding reverse sweep result saved by the forward
+    kernel — when supplied (the backward kernel's recompute) the 9-matmul
+    reverse sweep is skipped entirely; only the activations the weight
+    gradients need are rebuilt."""
     f32 = jnp.float32
     cast = lambda x: x.astype(wdt)
     dot = lambda x, w: jnp.dot(cast(x), w, preferred_element_type=f32)
 
-    z, a = [], []
+    z, a, sprime = [], [], []
     z0 = dot(em, r["w0"]) + r["b0"][0][None, :]
+    sp0, sg0 = _sp_sig(z0)
     z.append(z0)
-    a.append(_sp(z0))
+    a.append(sp0)
+    sprime.append(sg0)
     b_pe = dot(em, r["wskip_pe"])
     n_trunk = r["trunk_w"].shape[0]
     for i in range(n_trunk):
         zi = dot(a[-1], r["trunk_w"][i]) + r["trunk_b"][i][None, :]
         if i == skip_pos:
             zi = zi + b_pe
+        spi, sgi = _sp_sig(zi)
         z.append(zi)
-        a.append(_sp(zi))
+        a.append(spi)
+        sprime.append(sgi)
     feat = dot(a[-1], r["w8f"]) + r["b8f"][0][None, :]       # [T, W]
     logit = jnp.sum(a[-1] * r["w8l"][0][None, :], axis=1) + r["b8l"]
-
-    # reverse sweep: g_e = d logit / d em
-    sprime = [jax.nn.sigmoid(100.0 * zi) for zi in z]
-    g = jnp.broadcast_to(r["w8l"][0].astype(f32)[None, :], a[-1].shape)
-    g_z = [None] * len(z)
-    for i in range(n_trunk, 0, -1):
-        gz = g * sprime[i]
-        g_z[i] = gz
-        g = jnp.dot(cast(gz), r["trunk_w"][i - 1].T,
-                    preferred_element_type=f32)
-    g_z[0] = g * sprime[0]
-    g_e = jnp.dot(cast(g_z[0]), r["w0"].T, preferred_element_type=f32)
-    g_e = g_e + jnp.dot(cast(g_z[skip_pos + 1]), r["wskip_pe"].T,
-                        preferred_element_type=f32)
+    if g_e_in is None:
+        # reverse sweep: g_e = d logit / d em
+        g = jnp.broadcast_to(r["w8l"][0].astype(f32)[None, :], a[-1].shape)
+        for i in range(n_trunk, 0, -1):
+            gz = g * sprime[i]
+            if i == skip_pos + 1:
+                gz_skip = gz
+            g = _dnT(gz, r["trunk_w"][i - 1], wdt)
+        g_e = _dnT(g * sprime[0], r["w0"], wdt)
+        g_e = g_e + _dnT(gz_skip, r["wskip_pe"], wdt)
+    else:
+        g_e = g_e_in
 
     n3 = [jnp.sum(g_e * dpe3[j], axis=1) for j in range(3)]  # each [T]
 
@@ -191,8 +241,8 @@ def _read_refs(args):
 
 
 def _fwd_kernel(em, vpe, p3, dpe, *args, skip_pos, wdt):
-    r = _read_refs(args[:-1])
-    out = args[-1]
+    r = _read_refs(args[:-2])
+    out, g_e_out = args[-2], args[-1]
     dpe3 = [dpe[:, j * LANES:(j + 1) * LANES] for j in range(3)]
     c = _forward_core(r, em[:], vpe[:], p3[:], dpe3,
                       skip_pos=skip_pos, wdt=wdt)
@@ -200,22 +250,19 @@ def _fwd_kernel(em, vpe, p3, dpe, *args, skip_pos, wdt):
     packed = jnp.where(col < 3, c["rgb_pack"], 0.0)
     packed = packed + jnp.where(col == 3, c["logit"][:, None], 0.0)
     out[:] = packed
+    # residual for the backward kernel: skips the bwd recompute's 9-matmul
+    # reverse sweep ([T, LANES] f32 — ~100 MB HBM round trip per megabatch,
+    # ~0.9 TFLOP of MXU work saved)
+    g_e_out[:] = c["g_e"]
 
 
-def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
+def _bwd_kernel(em, vpe, p3, dpe, g_e_res, gup, *args, skip_pos, wdt):
     f32 = jnp.float32
-    cast = lambda x: x.astype(wdt)
-
-    def sum0(x, row=0, n_rows=8):
-        # column sums of x [T, W] placed into row `row` of an [n_rows, W]
-        # result, computed as a row-select matmul — Mosaic rejects plain
-        # axis-0 reductions to [1, W] here (replicated-layout relayout bug)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, x.shape[0]), 0)
-               == row).astype(f32)
-        return jnp.dot(sel, x, preferred_element_type=f32)
     n_w = len(PACK_ORDER)
     r = _read_refs(args[:n_w])
     grefs = dict(zip(["d_" + k for k in PACK_ORDER], args[n_w:]))
+    dTn = lambda x, y: _dTn(x, y, wdt)   # x^T y without a transpose pass
+    dnT = lambda x, w: _dnT(x, w, wdt)   # x w^T without a transpose pass
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -224,10 +271,13 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
 
     em_, vpe_, p3_ = em[:], vpe[:], p3[:]
     dpe3 = [dpe[:, j * LANES:(j + 1) * LANES] for j in range(3)]
-    c = _forward_core(r, em_, vpe_, p3_, dpe3, skip_pos=skip_pos, wdt=wdt)
+    c = _forward_core(r, em_, vpe_, p3_, dpe3, skip_pos=skip_pos, wdt=wdt,
+                      g_e_in=g_e_res[:])
     z, a, sprime = c["z"], c["a"], c["sprime"]
-    width = r["wf"].shape[0]
     n_trunk = r["trunk_w"].shape[0]
+
+    # Bias-like gradients accumulate as [8, W] VPU partial sums (_p8);
+    # _trim_packed_bar finishes the 8-row reduction outside the kernel.
 
     # ---- appearance backward -------------------------------------------
     g_up = gup[:]
@@ -235,43 +285,39 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
     g_rgb = jnp.where(col < 3, g_up, 0.0)                      # [T, APP_OUT]
     g_logit = jnp.sum(jnp.where(col == 3, g_up, 0.0), axis=1)  # [T]
 
-    grefs["d_wa4"][:] += jnp.dot(cast(c["aa"][-1]).T, cast(g_rgb),
-                                 preferred_element_type=f32)
-    grefs["d_ba4"][:] += sum0(g_rgb)
-    gz = jnp.dot(cast(g_rgb), r["wa4"].T, preferred_element_type=f32)
+    grefs["d_wa4"][:] += dTn(c["aa"][-1], g_rgb)
+    grefs["d_ba4"][:] += _p8(g_rgb)
+    gz = dnT(g_rgb, r["wa4"])
     for j in range(r["wa"].shape[0] - 1, -1, -1):
         gz = gz * (c["za"][j + 1] > 0)
-        grefs["d_wa"][j] += jnp.dot(cast(c["aa"][j]).T, cast(gz),
-                                    preferred_element_type=f32)
-        grefs["d_bab"][j] += sum0(gz)
-        gz = jnp.dot(cast(gz), r["wa"][j].T, preferred_element_type=f32)
+        grefs["d_wa"][j] += dTn(c["aa"][j], gz)
+        grefs["d_bab"][j] += _p8(gz)
+        gz = dnT(gz, r["wa"][j])
     gz = gz * (c["za"][0] > 0)                                 # app-L0 z-bar
-    grefs["d_wv"][:] += jnp.dot(cast(vpe_).T, cast(gz),
-                                preferred_element_type=f32)
-    grefs["d_wf"][:] += jnp.dot(cast(c["feat"]).T, cast(gz),
-                                preferred_element_type=f32)
-    grefs["d_ba0"][:] += sum0(gz)
+    grefs["d_wv"][:] += dTn(vpe_, gz)
+    grefs["d_wf"][:] += dTn(c["feat"], gz)
+    grefs["d_ba0"][:] += _p8(gz)
     g_n = []
     for j in range(3):
-        grefs["d_wp"][:] += sum0(p3_[:, j][:, None] * gz, row=j)
-        grefs["d_wn"][:] += sum0(c["n3"][j][:, None] * gz, row=j)
+        grefs["d_wp"][j] += _p8(p3_[:, j][:, None] * gz)
+        grefs["d_wn"][j] += _p8(c["n3"][j][:, None] * gz)
         g_n.append(jnp.sum(gz * r["wn"][j][None, :].astype(f32), axis=1))
-    g_feat = jnp.dot(cast(gz), r["wf"].T, preferred_element_type=f32)
+    g_feat = dnT(gz, r["wf"])
 
     # ---- first-order seeds through the split geo head ------------------
-    grefs["d_w8f"][:] += jnp.dot(cast(a[-1]).T, cast(g_feat),
-                                 preferred_element_type=f32)
-    grefs["d_b8f"][:] += sum0(g_feat)
-    grefs["d_w8l"][:] += sum0(g_logit[:, None] * a[-1])
+    grefs["d_w8f"][:] += dTn(a[-1], g_feat)
+    grefs["d_b8f"][:] += _p8(g_feat)
+    grefs["d_w8l"][:] += _p8(g_logit[:, None] * a[-1])
     # d_b8l uses an (8, LANES) block (a (1,1) VMEM output block would
-    # violate the f32 tiling minimum); only [0, 0] is meaningful
+    # violate the f32 tiling minimum); only column 0 carries signal
     onecol = (jax.lax.broadcasted_iota(
         jnp.int32, (g_up.shape[0], LANES), 1) == 0).astype(f32)
-    grefs["d_b8l"][:] += sum0(g_logit[:, None] * onecol)
-    h_bar = (jnp.dot(cast(g_feat), r["w8f"].T, preferred_element_type=f32)
+    grefs["d_b8l"][:] += _p8(g_logit[:, None] * onecol)
+    h_bar = (dnT(g_feat, r["w8f"])
              + g_logit[:, None] * r["w8l"][0][None, :].astype(f32))
 
     # ---- second-order: tangent forward of the normal path --------------
+    cast = lambda x: x.astype(wdt)
     c_e = (dpe3[0] * g_n[0][:, None] + dpe3[1] * g_n[1][:, None]
            + dpe3[2] * g_n[2][:, None])
     tz = [None] * len(z)
@@ -288,7 +334,7 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
         t_prev = sprime[i + 1] * tzi
         t_list.append(t_prev)
     # s = t_a7 . w8l[0]  (per point), summed into the loss
-    grefs["d_w8l"][:] += sum0(t_list[-1])
+    grefs["d_w8l"][:] += _p8(t_list[-1])
     t_bar = jnp.broadcast_to(r["w8l"][0].astype(f32)[None, :], a[-1].shape)
 
     # ---- doubled reverse sweep through the trunk -----------------------
@@ -297,25 +343,16 @@ def _bwd_kernel(em, vpe, p3, dpe, gup, *args, skip_pos, wdt):
         z_bar = h_bar * sprime[i] + t_bar * spp(i) * tz[i]
         tz_bar = t_bar * sprime[i]
         grefs["d_trunk_w"][i - 1] += (
-            jnp.dot(cast(a[i - 1]).T, cast(z_bar), preferred_element_type=f32)
-            + jnp.dot(cast(t_list[i - 1]).T, cast(tz_bar),
-                      preferred_element_type=f32))
-        grefs["d_trunk_b"][i - 1] += sum0(z_bar)
+            dTn(a[i - 1], z_bar) + dTn(t_list[i - 1], tz_bar))
+        grefs["d_trunk_b"][i - 1] += _p8(z_bar)
         if i - 1 == skip_pos:
-            grefs["d_wskip_pe"][:] += (
-                jnp.dot(cast(em_).T, cast(z_bar), preferred_element_type=f32)
-                + jnp.dot(cast(c_e).T, cast(tz_bar),
-                          preferred_element_type=f32))
-        h_bar = jnp.dot(cast(z_bar), r["trunk_w"][i - 1].T,
-                        preferred_element_type=f32)
-        t_bar = jnp.dot(cast(tz_bar), r["trunk_w"][i - 1].T,
-                        preferred_element_type=f32)
+            grefs["d_wskip_pe"][:] += dTn(em_, z_bar) + dTn(c_e, tz_bar)
+        h_bar = dnT(z_bar, r["trunk_w"][i - 1])
+        t_bar = dnT(tz_bar, r["trunk_w"][i - 1])
     z_bar = h_bar * sprime[0] + t_bar * spp(0) * tz[0]
     tz_bar = t_bar * sprime[0]
-    grefs["d_w0"][:] += (
-        jnp.dot(cast(em_).T, cast(z_bar), preferred_element_type=f32)
-        + jnp.dot(cast(c_e).T, cast(tz_bar), preferred_element_type=f32))
-    grefs["d_b0"][:] += sum0(z_bar)
+    grefs["d_w0"][:] += dTn(em_, z_bar) + dTn(c_e, tz_bar)
+    grefs["d_b0"][:] += _p8(z_bar)
 
 
 def _w_shapes(cfg: OccFieldConfig):
@@ -352,23 +389,27 @@ def _build(cfg: OccFieldConfig, n: int, tile: int, interpret: bool, wdt):
         grid=(n // tile,),
         in_specs=[tile_spec(LANES), tile_spec(LANES), tile_spec(LANES),
                   tile_spec(3 * LANES)] + wspecs,
-        out_specs=tile_spec(APP_OUT),
-        out_shape=jax.ShapeDtypeStruct((n, APP_OUT), jnp.float32),
+        out_specs=(tile_spec(APP_OUT), tile_spec(LANES)),
+        out_shape=(jax.ShapeDtypeStruct((n, APP_OUT), jnp.float32),
+                   jax.ShapeDtypeStruct((n, LANES), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
-    # bias/vector grads widen to 8-row blocks (see sum0 in the kernel)
+    # bias/vector grads come out as [8, W] VPU partial-sum blocks (see _p8
+    # in the kernel); _trim_packed_bar finishes the reduction outside
     width = cfg.hidden_dim
     n_trunk = cfg.num_layers - 1
     gshapes = dict(shapes, b8l=(8, LANES), b0=(8, width),
                    trunk_b=(n_trunk, 8, width), b8f=(8, width),
-                   ba0=(8, width), bab=(3, 8, width), ba4=(8, APP_OUT))
+                   ba0=(8, width), bab=(3, 8, width), ba4=(8, APP_OUT),
+                   wp=(3, 8, width), wn=(3, 8, width))
     bwd = pl.pallas_call(
         partial(_bwd_kernel, skip_pos=skip_pos, wdt=wdt),
         grid=(n // tile,),
         in_specs=[tile_spec(LANES), tile_spec(LANES), tile_spec(LANES),
-                  tile_spec(3 * LANES), tile_spec(APP_OUT)] + wspecs,
+                  tile_spec(3 * LANES), tile_spec(LANES),
+                  tile_spec(APP_OUT)] + wspecs,
         out_specs=tuple(_rep(gshapes[k]) for k in PACK_ORDER),
         out_shape=tuple(jax.ShapeDtypeStruct(gshapes[k], jnp.float32)
                         for k in PACK_ORDER),
@@ -416,33 +457,105 @@ def _op(packed, em, vpe, p3, dpe, cfg, tile, interpret, compute):
 def _op_fwd(packed, em, vpe, p3, dpe, cfg, tile, interpret, compute):
     wdt = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
     fwd, _ = _build(cfg, em.shape[0], tile, interpret, wdt)
-    out = fwd(em, vpe, p3, dpe, *[packed[k] for k in PACK_ORDER])
-    return out, (packed, em, vpe, p3, dpe)
+    out, g_e = fwd(em, vpe, p3, dpe, *[packed[k] for k in PACK_ORDER])
+    return out, (packed, em, vpe, p3, dpe, g_e)
 
 
 def _op_bwd(cfg, tile, interpret, compute, res, g_out):
-    packed, em, vpe, p3, dpe = res
+    packed, em, vpe, p3, dpe, g_e = res
     wdt = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
     _, bwd = _build(cfg, em.shape[0], tile, interpret, wdt)
-    grads = bwd(em, vpe, p3, dpe, g_out, *[packed[k] for k in PACK_ORDER])
-    packed_bar = {}
-    for k, g in zip(PACK_ORDER, grads):
-        # bias grads come back in widened 8-row blocks; row 0 is the value
-        if k == "b8l":
-            g = g[0:1, 0:1]
-        elif k in ("b0", "b8f", "ba0", "ba4"):
-            g = g[0:1]
-        elif k in ("trunk_b", "bab"):
-            g = g[:, 0]
-        packed_bar[k] = g.astype(packed[k].dtype)
+    grads = bwd(em, vpe, p3, dpe, g_e, g_out,
+                *[packed[k] for k in PACK_ORDER])
     z = jnp.zeros_like
-    return packed_bar, z(em), z(vpe), z(p3), z(dpe)
+    return _trim_packed_bar(grads, packed), z(em), z(vpe), z(p3), z(dpe)
 
 
 _op.defvjp(_op_fwd, _op_bwd)
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile", "interpret", "compute"))
+def _trim_packed_bar(grads, packed):
+    """Finish the kernel's [8, W] VPU partial column sums (see _p8): sum the
+    8 partial rows, then restore each packed gradient's layout. For w8l/wp/wn
+    only the leading rows carry signal (the _pack transpose reads only those);
+    the rest are zero-filled."""
+    packed_bar = {}
+    for k, g in zip(PACK_ORDER, grads):
+        if k == "b8l":
+            g = g.sum(axis=0, keepdims=True)[:, 0:1]
+        elif k in ("b0", "b8f", "ba0", "ba4"):
+            g = g.sum(axis=0, keepdims=True)
+        elif k in ("trunk_b", "bab"):
+            g = g.sum(axis=1)
+        elif k == "w8l":
+            g = jnp.pad(g.sum(axis=0, keepdims=True), ((0, 7), (0, 0)))
+        elif k in ("wp", "wn"):
+            g = jnp.pad(g.sum(axis=1), ((0, 5), (0, 0)))
+        packed_bar[k] = g.astype(packed[k].dtype)
+    return packed_bar
+
+
+_SHARDED_OP_CACHE: dict = {}
+
+
+def _make_sharded_op(cfg, tile, interpret, compute, mesh):
+    """custom_vjp op over a shard_map'd kernel pair: each device runs the
+    VMEM-resident fwd/bwd on its point shard (weights replicated), and the
+    backward psums the per-device partial weight gradients over the ray axis
+    — the one collective data-parallel training needs (SURVEY.md §2.b)."""
+    key = (cfg, tile, interpret, compute, mesh)
+    if key in _SHARDED_OP_CACHE:
+        return _SHARDED_OP_CACHE[key]
+
+    from jax.sharding import PartitionSpec as P
+
+    from psnerf_tpu.parallel.mesh import RAY_AXIS
+
+    wdt = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
+
+    def local_fwd(packed, em, vpe, p3, dpe):
+        fwd, _ = _build(cfg, em.shape[0], tile, interpret, wdt)
+        return fwd(em, vpe, p3, dpe, *[packed[k] for k in PACK_ORDER])
+
+    def local_bwd(packed, em, vpe, p3, dpe, g_e, g_out):
+        _, bwd = _build(cfg, em.shape[0], tile, interpret, wdt)
+        grads = bwd(em, vpe, p3, dpe, g_e, g_out,
+                    *[packed[k] for k in PACK_ORDER])
+        return tuple(jax.lax.psum(g, RAY_AXIS) for g in grads)
+
+    pix = P(RAY_AXIS)
+    fwd_sm = jax.shard_map(
+        local_fwd, mesh=mesh, in_specs=(P(), pix, pix, pix, pix),
+        out_specs=(pix, pix), check_vma=False,
+    )
+    bwd_sm = jax.shard_map(
+        local_bwd, mesh=mesh, in_specs=(P(), pix, pix, pix, pix, pix, pix),
+        out_specs=P(), check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def op(packed, em, vpe, p3, dpe):
+        out, _ = fwd_sm(packed, em, vpe, p3, dpe)
+        return out
+
+    def op_fwd(packed, em, vpe, p3, dpe):
+        out, g_e = fwd_sm(packed, em, vpe, p3, dpe)
+        return out, (packed, em, vpe, p3, dpe, g_e)
+
+    def op_bwd(res, g_out):
+        packed, em, vpe, p3, dpe, g_e = res
+        grads = bwd_sm(packed, em, vpe, p3, dpe, g_e, g_out)
+        z = jnp.zeros_like
+        return (_trim_packed_bar(grads, packed),
+                z(em), z(vpe), z(p3), z(dpe))
+
+    op.defvjp(op_fwd, op_bwd)
+    _SHARDED_OP_CACHE[key] = op
+    return op
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "tile", "interpret", "compute", "mesh"))
 def fused_radiance_and_alpha(
     params: dict,
     p: jnp.ndarray,          # [N, 3] — stop-gradient'd (marcher output)
@@ -451,16 +564,27 @@ def fused_radiance_and_alpha(
     tile: int = 256,
     interpret: bool = False,
     compute: str = "bfloat16",
+    mesh=None,
 ):
     """Drop-in for fields.occupancy.radiance_and_alpha on the training
     megabatch: returns (rgb [N,3] in [0,1], alpha [N]). Differentiable wrt
     `params` (weight gradients only; p/ray_d receive zeros — the call sites
-    stop-gradient them anyway). Flattens leading batch dims."""
+    stop-gradient them anyway). Flattens leading batch dims.
+
+    mesh: optional Mesh with a 'rays' axis — the kernels run per-device via
+    shard_map over the point axis, with the weight-gradient psum done inside
+    the custom vjp (fused kernels keep composing when training scales out)."""
     shape = p.shape[:-1]
     p = p.reshape(-1, 3)
     ray_d = ray_d.reshape(-1, 3)
     n = p.shape[0]
-    pad = (-n) % tile
+    if mesh is not None:
+        from psnerf_tpu.parallel.mesh import RAY_AXIS
+
+        quantum = tile * mesh.shape[RAY_AXIS]
+    else:
+        quantum = tile
+    pad = (-n) % quantum
     p_in = jax.lax.stop_gradient(
         jnp.concatenate([p, jnp.zeros((pad, 3), p.dtype)]) if pad else p)
     r_in = jax.lax.stop_gradient(
@@ -469,7 +593,11 @@ def fused_radiance_and_alpha(
     em, vpe, p3, dpe = _inputs_from_points(p_in, r_in, cfg)
     wdt = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
     packed = _pack(params, cfg, wdt)
-    out = _op(packed, em, vpe, p3, dpe, cfg, tile, interpret, compute)
+    if mesh is not None:
+        op = _make_sharded_op(cfg, tile, interpret, compute, mesh)
+        out = op(packed, em, vpe, p3, dpe)
+    else:
+        out = _op(packed, em, vpe, p3, dpe, cfg, tile, interpret, compute)
     rgb = (jnp.tanh(out[:n, :3]) * 0.5 + 0.5).reshape(*shape, 3)
     alpha = jax.nn.sigmoid(-10.0 * out[:n, 3]).reshape(shape)
     return rgb, alpha

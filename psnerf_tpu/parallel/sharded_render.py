@@ -23,15 +23,19 @@ def make_sharded_frame_renderer(
     tile: int = 4096,
     outputs: tuple = ("rgb",),
     use_fused_vis: bool = False,
+    fused_interpret: bool = False,
 ):
     """Returns fn(params, uv, pose, K, points, normals, mask, ldirs, lints)
     -> {name: [L, N, ...]} with N sharded over the mesh during compute.
-    N must be divisible by (mesh size * tile)."""
+    N must be divisible by (mesh size * tile). The fused Pallas kernels run
+    per device inside the shard_map (fused_interpret: interpreter mode for
+    the CPU test mesh)."""
 
     def per_device(params, uv, pose, K, pts, nrm, msk, ld, li):
         return render_frame_stage2(
             params, cfg, uv, pose, K, pts, nrm, msk, ld, li,
             tile=tile, outputs=outputs, use_fused_vis=use_fused_vis,
+            fused_interpret=fused_interpret,
         )
 
     # pixel-axis leaves sharded; params/camera/lights replicated
@@ -59,6 +63,7 @@ def make_sharded_frame_renderer_2d(
     tile: int = 4096,
     outputs: tuple = ("rgb",),
     use_fused_vis: bool = False,
+    fused_interpret: bool = False,
 ):
     """Shard BOTH render axes over a 2-D (rays x lights) mesh: each device
     renders its pixel shard under its light shard. N % (ray_devices * tile)
@@ -68,6 +73,7 @@ def make_sharded_frame_renderer_2d(
         return render_frame_stage2(
             params, cfg, uv, pose, K, pts, nrm, msk, ld, li,
             tile=tile, outputs=outputs, use_fused_vis=use_fused_vis,
+            fused_interpret=fused_interpret,
         )
 
     pix0 = P(RAY_AXIS)

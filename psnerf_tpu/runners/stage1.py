@@ -53,11 +53,12 @@ class Stage1Runner:
         gradient psum inserted by XLA over ICI). n_training_points must be
         divisible by the mesh size."""
         # fused Pallas marching kernel: on by default on TPU; the CPU test
-        # platform falls back to the XLA path. Under a mesh the XLA path is
-        # used (a pallas_call does not auto-partition under GSPMD) unless the
-        # caller forces the kernel on.
+        # platform falls back to the XLA path. Under a mesh the kernels run
+        # inside a shard_map over the ray axis (a pallas_call does not
+        # auto-partition under GSPMD), so they stay on when training scales
+        # out.
         if use_fused_occ is None:
-            use_fused_occ = mesh is None and jax.default_backend() == "tpu"
+            use_fused_occ = jax.default_backend() == "tpu"
         self.use_fused_occ = use_fused_occ
         # fused fwd+bwd radiance kernel for the grad-tracked integration
         # pass: on by default on TPU when the architecture fits its layout
@@ -66,8 +67,7 @@ class Stage1Runner:
         from psnerf_tpu.ops.fused_radiance import supports
 
         if use_fused_radiance is None:
-            use_fused_radiance = (mesh is None
-                                  and jax.default_backend() == "tpu"
+            use_fused_radiance = (jax.default_backend() == "tpu"
                                   and supports(cfg.field))
         if use_fused_radiance:
             assert supports(cfg.field), (
@@ -97,7 +97,7 @@ class Stage1Runner:
         self.params = init_occupancy_field(jax.random.PRNGKey(seed), cfg.field)
         init_opt, self.step_fn = make_stage1_train_step(
             cfg.field, cfg.render, self.tcfg, use_fused_occ=use_fused_occ,
-            use_fused_radiance=use_fused_radiance,
+            use_fused_radiance=use_fused_radiance, mesh=mesh,
         )
         self.opt_state = init_opt(self.params)
         self.it = 0
@@ -183,7 +183,8 @@ class Stage1Runner:
         from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
 
         return make_fused_occ_fn(
-            self.params if params is None else params, self.cfg.field)
+            self.params if params is None else params, self.cfg.field,
+            mesh=self.mesh)
 
     # ------------------------------------------------------------- training
     def train(self, max_iters: int, log_every: int | None = None,
@@ -433,24 +434,62 @@ class Stage1Runner:
             cache = self._extract_fns = {}
         ckey = (tile, n_steps)
         if ckey not in cache:
-
-            @jax.jit
-            def march_fn(params, pix_tile, K, pose):
-                return render_shape_extract(
-                    params, cfg.field, cfg.render, pix_tile, K, pose,
-                    light_dir=None, n_steps=n_steps,
-                    occ_fn=self._occ_fn(params),
+            if self.mesh is not None:
+                # sharded export: march over the ray axis, visibility over a
+                # 2-D rays x lights device layout — the export is the most
+                # expensive pipeline step and both axes are embarrassingly
+                # parallel (reference rendering.py:297-408)
+                from psnerf_tpu.parallel.mesh import LIGHT_AXIS
+                from psnerf_tpu.parallel.sharded_export import (
+                    export_vis_mesh,
+                    make_sharded_march_fn,
+                    make_sharded_vis_fn,
                 )
 
-            @jax.jit
-            def vis_fn(params, surf_pts, light_dir):
-                from psnerf_tpu.fields.occupancy import occ_alpha
-                from psnerf_tpu.render.marching import light_visibility
+                n_dev = self.mesh.devices.size
+                assert tile % n_dev == 0, (
+                    f"tile={tile} not divisible by the {n_dev}-device mesh")
+                occ_builder = None
+                if self.use_fused_occ:
+                    from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
 
-                occ_fn = self._occ_fn(params)
-                if occ_fn is None:
-                    occ_fn = lambda p: occ_alpha(params, p, cfg.field)
-                return light_visibility(occ_fn, surf_pts, light_dir)
+                    # per-device kernel: NO inner mesh (shard_map wraps it)
+                    occ_builder = lambda p_: make_fused_occ_fn(p_, cfg.field)
+                march_fn = make_sharded_march_fn(
+                    cfg.field, cfg.render, self.mesh, n_steps=n_steps,
+                    occ_builder=occ_builder)
+                vis_mesh = export_vis_mesh(self.mesh)
+                _vis_sharded = make_sharded_vis_fn(
+                    cfg.field, vis_mesh, occ_builder=occ_builder)
+                n_light_dev = vis_mesh.shape[LIGHT_AXIS]
+
+                def vis_fn(params, surf_pts, light_dir):
+                    L = light_dir.shape[0]
+                    padl = (-L) % n_light_dev
+                    if padl:
+                        light_dir = jnp.concatenate(
+                            [light_dir,
+                             jnp.tile(light_dir[:1], (padl, 1))], 0)
+                    return _vis_sharded(params, surf_pts, light_dir)[:L]
+            else:
+
+                @jax.jit
+                def march_fn(params, pix_tile, K, pose):
+                    return render_shape_extract(
+                        params, cfg.field, cfg.render, pix_tile, K, pose,
+                        light_dir=None, n_steps=n_steps,
+                        occ_fn=self._occ_fn(params),
+                    )
+
+                @jax.jit
+                def vis_fn(params, surf_pts, light_dir):
+                    from psnerf_tpu.fields.occupancy import occ_alpha
+                    from psnerf_tpu.render.marching import light_visibility
+
+                    occ_fn = self._occ_fn(params)
+                    if occ_fn is None:
+                        occ_fn = lambda p: occ_alpha(params, p, cfg.field)
+                    return light_visibility(occ_fn, surf_pts, light_dir)
 
             cache[ckey] = (march_fn, vis_fn)
         _march_fn, _vis_fn = cache[ckey]

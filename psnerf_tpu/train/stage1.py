@@ -32,12 +32,17 @@ class Stage1TrainConfig:
     n_training_points: int = 2048
     normal_after: int = 1000
     outside_after: int = 5000   # switch to steps+steps_outside grid
+    # row-tile of the fused radiance kernel over the integration megabatch;
+    # 512 measured ~3% faster than 256 at the bear config (2048x96 points),
+    # 1024 regresses — tune here for other batch geometries
+    radiance_tile: int = 512
     weights: Stage1LossWeights = Stage1LossWeights()
 
 
 def make_stage1_train_step(
     field_cfg: OccFieldConfig, rcfg: UnisurfConfig, tcfg: Stage1TrainConfig,
     use_fused_occ: bool = False, use_fused_radiance: bool = False,
+    mesh=None,
 ):
     """Returns (init_opt_state, step). step signature:
 
@@ -52,6 +57,9 @@ def make_stage1_train_step(
     use_fused_radiance: run the grad-tracked integration megabatch (radiance
     + alpha + analytic normals + appearance, fwd AND bwd) through the fused
     Pallas kernel pair (ops/fused_radiance.py; TPU only).
+    mesh: optional Mesh with a 'rays' axis — the fused kernels run inside a
+    shard_map over the ray/point axis (per-device kernels + weight-grad
+    psum), so data-parallel training keeps the kernel performance.
     """
 
     def loss_fn(params, batch, it, key, use_outside):
@@ -59,17 +67,15 @@ def make_stage1_train_step(
         if use_fused_occ:
             from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
 
-            occ_fn = make_fused_occ_fn(params, field_cfg)
+            occ_fn = make_fused_occ_fn(params, field_cfg, mesh=mesh)
         radiance_fn = None
         if use_fused_radiance:
             from psnerf_tpu.ops.fused_radiance import fused_radiance_and_alpha
 
-            # tile=512 measured ~3% faster than 256 at the bear-config
-            # megabatch (2048x96 points); 1024 regresses
             radiance_fn = lambda p, rd: fused_radiance_and_alpha(
-                params, p, rd, field_cfg, tile=512,
+                params, p, rd, field_cfg, tile=tcfg.radiance_tile,
                 compute=("bfloat16" if field_cfg.compute_dtype == "bfloat16"
-                         else "float32"))
+                         else "float32"), mesh=mesh)
         out = render_unisurf(
             params, field_cfg, rcfg,
             batch["pixels"], batch["camera_mat"], batch["world_mat"],

@@ -125,10 +125,14 @@ def test_train_step_wiring(setup):
     p_ref, _, t_ref = step_ref(params, opt0, batch, 100.0,
                                jax.random.PRNGKey(5), use_outside=True)
 
-    # interpret-mode kernel on CPU: patch the default pallas path
+    # interpret-mode kernel on CPU: patch the default pallas path. The
+    # wrapper OVERRIDES the caller's tile/interpret kwargs (the stage-1 call
+    # site passes its own tile) so the test really runs tile=128 interpreted.
     orig = fused_radiance.fused_radiance_and_alpha
-    import functools
-    patched = functools.partial(orig, interpret=True, tile=128)
+
+    def patched(params, p, rd, cfg, tile=None, interpret=None, **kw):
+        assert tile is not None, "call site should pass its tile explicitly"
+        return orig(params, p, rd, cfg, tile=128, interpret=True, **kw)
     fused_radiance.fused_radiance_and_alpha = patched
     try:
         _, step_fused = make_stage1_train_step(CFG, rcfg, tcfg,

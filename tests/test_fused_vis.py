@@ -151,22 +151,14 @@ def test_fused_vis_shade_per_channel_intensity():
     err = np.abs(np.asarray(out) - np.asarray(ref))
     assert err.max() < 2e-2, f"max abs err {err.max():.4f}"
 
-def test_frame_renderer_fused_shade_parity(monkeypatch):
+def test_frame_renderer_fused_shade_parity():
     """render_frame_stage2(use_fused_vis=True) takes the single-kernel
     vis+shade path for rgb/rgb_sum outputs and matches the streaming XLA
-    path (CPU: kernel forced to interpret mode)."""
-    from functools import partial as _partial
-
-    import psnerf_tpu.ops.fused_vis as fv
+    path (CPU: kernels run interpreted via fused_interpret=True — the
+    explicit plumbing, not a monkeypatched partial the call site's own
+    kwargs would override)."""
     from psnerf_tpu.eval.frame import render_frame_stage2
     from psnerf_tpu.fields.psnet import PSNetConfig, init_psnet
-
-    monkeypatch.setattr(
-        fv, "fused_vis_shade",
-        _partial(fv.fused_vis_shade.__wrapped__, interpret=True))
-    monkeypatch.setattr(
-        fv, "fused_visibility",
-        _partial(fv.fused_visibility.__wrapped__, interpret=True))
 
     cfg = PSNetConfig()
     params = init_psnet(jax.random.PRNGKey(0), cfg)
@@ -190,7 +182,7 @@ def test_frame_renderer_fused_shade_parity(monkeypatch):
     ref = render_frame_stage2(*args, tile=256, outputs=outs,
                               use_fused_vis=False)
     got = render_frame_stage2(*args, tile=256, outputs=outs,
-                              use_fused_vis=True)
+                              use_fused_vis=True, fused_interpret=True)
     assert set(got) == set(ref)
     assert got["rgb"].shape == ref["rgb"].shape == (5, n, 3)
     err = np.abs(np.asarray(got["rgb"]) - np.asarray(ref["rgb"]))
@@ -202,18 +194,11 @@ def test_frame_renderer_fused_shade_parity(monkeypatch):
     np.testing.assert_allclose(np.asarray(got["normal_pred"]),
                                np.asarray(ref["normal_pred"]), atol=1e-5)
 
-def test_frame_renderer_rgb_cnl_layouts(monkeypatch):
+def test_frame_renderer_rgb_cnl_layouts():
     """rgb_cnl is rgb in channel-major [3, N, L] layout — identical values —
     from both the fused-shade path and the streaming path."""
-    from functools import partial as _partial
-
-    import psnerf_tpu.ops.fused_vis as fv
     from psnerf_tpu.eval.frame import render_frame_stage2
     from psnerf_tpu.fields.psnet import PSNetConfig, init_psnet
-
-    monkeypatch.setattr(
-        fv, "fused_vis_shade",
-        _partial(fv.fused_vis_shade.__wrapped__, interpret=True))
 
     cfg = PSNetConfig()
     params = init_psnet(jax.random.PRNGKey(0), cfg)
@@ -234,7 +219,7 @@ def test_frame_renderer_rgb_cnl_layouts(monkeypatch):
     args = (params, cfg, uv, pose, K, pts, nrm, mask, ldirs, lints)
 
     fused = render_frame_stage2(*args, tile=256, outputs=("rgb_cnl", "rgb_sum"),
-                                use_fused_vis=True)
+                                use_fused_vis=True, fused_interpret=True)
     stream = render_frame_stage2(*args, tile=256,
                                  outputs=("rgb", "rgb_cnl", "rgb_sum"),
                                  use_fused_vis=False)

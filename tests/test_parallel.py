@@ -117,6 +117,53 @@ def test_sharded_train_step_2d_rays_x_lights_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_sharded_shape_extract_matches_single_device(tmp_path):
+    """The export path (surface march + 2-D rays x lights visibility
+    marching) under a mesh must write the same npys as the single-device
+    runner (reference stage1/model/rendering.py:297-408)."""
+    import os
+
+    from psnerf_tpu.config import Stage1Config
+    from psnerf_tpu.data.synthetic import generate_synthetic_scene
+    from psnerf_tpu.fields.occupancy import OccFieldConfig
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+    from psnerf_tpu.train.losses import Stage1LossWeights
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig
+
+    d = str(tmp_path / "scene")
+    generate_synthetic_scene(d, n_views=2, n_test=0, n_lights=3, hw=(24, 24))
+    cfg = Stage1Config(
+        field=OccFieldConfig(num_layers=4, hidden_dim=32, feat_size=32,
+                             octaves_pe=2, octaves_pe_views=2, skips=(2,)),
+        render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                             interval_start=0.6, interval_end=0.05,
+                             interval_decay=1e-3, num_points_in=8,
+                             num_points_out=4, ray_marching_steps=16),
+        train=Stage1TrainConfig(n_training_points=64, normal_after=0,
+                                milestone_iters=(),
+                                weights=Stage1LossWeights()),
+        data_dir=d, inten_normalize=None,
+        checkpoint_every=100000, backup_every=100000, visualize_every=0,
+    )
+    r1 = Stage1Runner(cfg, str(tmp_path / "s"), resume=False)
+    e1 = str(tmp_path / "exp_single")
+    r1.shape_extract(e1, visibility=True, vis_plus=True, vis_plus_num=4,
+                     tile=256, n_steps=16)
+
+    rm = Stage1Runner(cfg, str(tmp_path / "m"), resume=False,
+                      mesh=make_mesh(8))
+    e2 = str(tmp_path / "exp_mesh")
+    rm.shape_extract(e2, visibility=True, vis_plus=True, vis_plus_num=4,
+                     tile=256, n_steps=16)
+
+    for sub in ("points", "normal", "mask", "visibility", "vis_plus"):
+        a = np.load(os.path.join(e1, sub, "view_01.npy"))
+        b = np.load(os.path.join(e2, sub, "view_01.npy"))
+        np.testing.assert_allclose(b, a, atol=1e-5,
+                                   err_msg=f"mismatch in {sub}")
+
+
 def test_sharded_frame_2d_rays_x_lights():
     """4 ray-devices x 2 light-devices: the 2-D sharded render must match the
     single-device frame."""

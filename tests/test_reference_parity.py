@@ -640,3 +640,77 @@ def test_stage1_loss_parity(stage1_pair):
         np.testing.assert_allclose(
             float(got_terms[key]), float(ref_terms[key]), atol=1e-5, rtol=1e-5
         )
+
+
+# ------------------------------------------------- envmap relighting (summed)
+def test_envmap_relight_sum_parity(psnet_pair):
+    """The sum-over-512-lights envmap path (stage2/eval.py:173-231): drive
+    the reference PSNetwork through its 64-light chunk loop with per-channel
+    texel intensities, sum + clip; vs our fused frame path (rgb_sum through
+    the in-kernel per-light clip + padded-lane fill, chunked at 128 lights).
+    The per-light path has elementwise parity coverage above; this pins the
+    INTEGRATED image."""
+    from psnerf_tpu.core.spherical import gen_light_xyz
+    from psnerf_tpu.eval.frame import render_frame_stage2
+
+    net, params = psnet_pair
+    light_h = 16
+    lxyz, _ = gen_light_xyz(light_h, 2 * light_h, envmap_radius=1.0)
+    dirs = lxyz.reshape(-1, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rng = np.random.default_rng(11)
+    # texels scaled so the summed image actually exercises the clip
+    texels = (rng.uniform(size=(dirs.shape[0], 3)) * 0.02).astype(np.float32)
+
+    n = 256
+    uv = rng.uniform(2, 30, size=(1, n, 2)).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.1, -0.2, -3.0]
+    intr = np.asarray(
+        [[90.0, 0, 16, 0], [0, 85.0, 16, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]],
+        dtype=np.float32,
+    )
+    points = (rng.normal(size=(1, n, 3)) * 0.3).astype(np.float32)
+    normal = np.ones((1, n, 3), np.float32)     # eval.py:188 (unused w/ pregen)
+    surface_mask = rng.uniform(size=(1, n)) > 0.25
+
+    # ---- reference: 64-light chunks, sum over the light axis, clip -------
+    rgb_chunks = []
+    for s in range(0, len(dirs), 64):
+        model_input = {
+            "uv": _t(uv),
+            "pose": _t(pose)[None],
+            "intrinsics": _t(intr)[None],
+            "object_mask": torch.ones(1, n),
+            "points": _t(points),
+            "normal": _t(normal),
+            "surface_mask": torch.from_numpy(surface_mask),
+            "light_direction": _t(dirs[s:s + 64]),
+            "light_intensity": _t(texels[s:s + 64]),
+        }
+        with torch.no_grad():
+            out = net(model_input)
+        rgb_chunks.append(_n(out["sg_rgb_values"]))
+    ref_img = np.concatenate(rgb_chunks, 0).sum(0).clip(0, 1)
+
+    # ---- ours: fused vis+shade kernel (interpret), 128-light chunks ------
+    acc = 0.0
+    for s in range(0, len(dirs), 128):
+        out = render_frame_stage2(
+            params["model"], PSNET_CFG,
+            jnp.asarray(uv[0]), jnp.asarray(pose), jnp.asarray(intr),
+            jnp.asarray(points[0]), jnp.asarray(normal[0]),
+            jnp.asarray(surface_mask[0]),
+            jnp.asarray(dirs[s:s + 128]), jnp.asarray(texels[s:s + 128]),
+            tile=256, outputs=("rgb_sum",),
+            use_fused_vis=True, fused_interpret=True,
+        )
+        acc = acc + np.asarray(out["rgb_sum"])
+    got_img = np.clip(acc, 0, 1)
+
+    assert np.abs(got_img - ref_img).max() < 5e-3
+    assert np.abs(got_img - ref_img).mean() < 5e-4
+    # masked-out pixels: each light contributes the white fill, so the summed
+    # image saturates to exactly 1 after the clip on both sides
+    np.testing.assert_allclose(got_img[~surface_mask[0]], 1.0)
+    np.testing.assert_allclose(ref_img[~surface_mask[0]], 1.0)
