@@ -50,7 +50,8 @@ def _occ_kernel(em, w0, b0, wskip_pe, trunk_w, trunk_b, w8, b8, out, *,
         if i == skip_pos:
             h = h + b_pe
         y = _sp100(h)
-    logit = jnp.sum(y * w8[0, :].astype(f32)[None, :], axis=1) + b8[0, 0]
+    logit = jnp.sum(y.astype(f32) * w8[0, :].astype(f32)[None, :],
+                    axis=1) + b8[0, 0]
     out[:] = logit.reshape(rows_per_tile, LANES)
 
 

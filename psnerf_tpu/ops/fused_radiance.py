@@ -62,15 +62,18 @@ def _sp(x):
     return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
 
 
-def _sp_sig(x):
+def _sp_sig(x, dt=jnp.float32):
     """softplus(100x)/100 and its derivative sigmoid(100x) from ONE exp.
 
     The trunk is evaluated at [T, 256] x 8 layers in both kernels and needs
     BOTH values; jnp.softplus + jax.nn.sigmoid would issue two transcendental
-    passes per layer on the VPU — at the megabatch this is a measured
-    bottleneck of the forward kernel (MXU sits at ~40% while the VPU chews
-    exps). e = exp(-|100x|) serves both stably:
+    passes per layer on the VPU. e = exp(-|100x|) serves both stably:
       softplus(bx) = max(bx, 0) + log1p(e),  sigmoid(bx) = 1/(1+e) | e/(1+e).
+
+    (A packed-bf16 variant was measured and reverted: Mosaic legalizes exp
+    but not log1p/cmpf/select at bf16, and the exp-only packing showed no
+    end-to-end gain — the dt parameter remains for future experiments but
+    the math runs f32.)
     """
     bx = 100.0 * x
     e = jnp.exp(-jnp.abs(bx))
@@ -186,7 +189,7 @@ def _forward_core(r, em, vpe, p3, dpe3, *, skip_pos, wdt, g_e_in=None):
 
     z, a, sprime = [], [], []
     z0 = dot(em, r["w0"]) + r["b0"][0][None, :]
-    sp0, sg0 = _sp_sig(z0)
+    sp0, sg0 = _sp_sig(z0, wdt)
     z.append(z0)
     a.append(sp0)
     sprime.append(sg0)
@@ -196,7 +199,7 @@ def _forward_core(r, em, vpe, p3, dpe3, *, skip_pos, wdt, g_e_in=None):
         zi = dot(a[-1], r["trunk_w"][i]) + r["trunk_b"][i][None, :]
         if i == skip_pos:
             zi = zi + b_pe
-        spi, sgi = _sp_sig(zi)
+        spi, sgi = _sp_sig(zi, wdt)
         z.append(zi)
         a.append(spi)
         sprime.append(sgi)

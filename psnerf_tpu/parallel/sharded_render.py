@@ -44,9 +44,10 @@ def make_sharded_frame_renderer(
     in_specs = (rep, pix0, rep, rep, pix0, pix0, pix0, rep, rep)
 
     def out_spec(name):
-        # [L, N, ...] outputs shard on axis 1; [N, ...] on axis 0
-        return P(None, RAY_AXIS) if name in ("rgb", "rough", "visibility") \
-            else P(RAY_AXIS)
+        # [L, N, ...] and [3, N, L] outputs shard on axis 1; [N, ...] on 0
+        return (P(None, RAY_AXIS)
+                if name in ("rgb", "rough", "visibility", "rgb_cnl")
+                else P(RAY_AXIS))
 
     out_specs = {name: out_spec(name) for name in outputs}
 
@@ -82,6 +83,8 @@ def make_sharded_frame_renderer_2d(
     in_specs = (rep, pix0, rep, rep, pix0, pix0, pix0, lspec, lspec)
 
     def out_spec(name):
+        if name == "rgb_cnl":
+            return P(None, RAY_AXIS, LIGHT_AXIS)
         return (P(LIGHT_AXIS, RAY_AXIS)
                 if name in ("rgb", "rough", "visibility") else P(RAY_AXIS))
 

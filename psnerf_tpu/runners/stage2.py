@@ -400,12 +400,26 @@ class Stage2Runner:
             cache = self._frame_fns = {}
         key = (tile, outs, use_fused_vis)
         if key not in cache:
-            cache[key] = jax.jit(
-                lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
-                render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk,
-                                    ld, li, tile=tile, outputs=outs,
-                                    use_fused_vis=use_fused_vis)
-            )
+            if self.mesh is not None:
+                # multi-chip eval: each device renders its pixel shard (the
+                # fused kernels run per device inside the shard_map)
+                from psnerf_tpu.parallel.sharded_render import (
+                    make_sharded_frame_renderer,
+                )
+
+                n_dev = self.mesh.devices.size
+                assert tile % n_dev == 0, (
+                    f"tile={tile} not divisible by the {n_dev}-device mesh")
+                cache[key] = make_sharded_frame_renderer(
+                    cfg, self.mesh, tile=tile // n_dev, outputs=outs,
+                    use_fused_vis=use_fused_vis)
+            else:
+                cache[key] = jax.jit(
+                    lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
+                    render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk,
+                                        ld, li, tile=tile, outputs=outs,
+                                        use_fused_vis=use_fused_vis)
+                )
         out = cache[key](
             self.params["model"], uv_in, data["poses"][view], data["K"],
             gather(data["points"][view]), gather(data["normals"][view]),

@@ -309,3 +309,15 @@ def test_stage2_runner_mesh_training_matches_single_device(tmp_path):
                     jax.tree_util.tree_leaves(rm.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+    # runner-level eval under the mesh: render_view routes through the
+    # shard_map'd frame renderer and must match the single-device render
+    data = rs.data
+    dirs, ints = rs.trained_lights_for_view(data, 0)
+    r_single = rs.render_view(data, 0, dirs, ints, tile=64,
+                              outputs=("rgb", "albedo"))
+    r_mesh = rm.render_view(rm.data, 0, dirs, ints, tile=64,
+                            outputs=("rgb", "albedo"))
+    np.testing.assert_allclose(r_mesh["rgb"], r_single["rgb"], atol=1e-4)
+    np.testing.assert_allclose(r_mesh["albedo"], r_single["albedo"],
+                               atol=1e-4)

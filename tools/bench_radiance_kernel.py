@@ -21,14 +21,18 @@ from psnerf_tpu.ops.fused_radiance import fused_radiance_and_alpha
 from psnerf_tpu.utils.profiling import enable_compilation_cache
 
 
+def _sync(x):
+    """block_until_ready is NOT reliable on the tunneled axon backend (it
+    can return before the device work completes) — read a scalar back."""
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
 def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
@@ -50,13 +54,15 @@ def scan_timeit(make_step, params, k=20, reps=5):
         out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
         return out
 
-    jax.block_until_ready(run(params))
+    _sync(run(params))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(params))
+        _sync(run(params))
         times.append(time.perf_counter() - t0)
     times.sort()
+    # one tunnel round trip is amortized over k in-scan iterations; the
+    # residual per-step bias is ~30/k ms and identical across variants
     return times[len(times) // 2] / k
 
 

@@ -30,6 +30,8 @@ def main():
                     help="activation storage dtype of the stage-1 field's "
                          "differentiated pass (training is HBM-bound; "
                          "bfloat16 halves the traffic, params stay f32)")
+    ap.add_argument("--mesh-upsample", type=int, default=3,
+                    help="MISE upsampling steps from res0 64 (3 = 512^3)")
     ap.add_argument("--scene", choices=("sphere", "snowman"),
                     default="sphere",
                     help="snowman: non-convex two-sphere scene with analytic "
@@ -51,7 +53,9 @@ def main():
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
     scene_dir = os.path.join(wd, "scene")
-    summary = {}
+    summary = {"config": f"{args.hw}px x {args.views} views x "
+                         f"{args.lights} lights, stage1 {args.stage1_iters} "
+                         f"its, stage2 {args.stage2_iters} its"}
 
     t0 = time.time()
     scene_kw = {}
@@ -108,11 +112,29 @@ def main():
             r - np.linalg.norm(p - np.asarray(c)[None], axis=-1)
             for c, r in spheres]), axis=0)
 
+    # Headline extraction at the reference's production protocol: res0 64 +
+    # `mesh_upsample` refinement steps (3 -> 512^3 effective,
+    # extracting.py:75-135). The decomposition below separates field error
+    # from extraction-resolution error (the round-2 numbers were published
+    # from a 128^3 extraction with the resolution unrecorded — VERDICT r2).
+    res0, ups = 64, args.mesh_upsample
     verts, tris = r1.extract_mesh_to(os.path.join(wd, "mesh.ply"),
-                                     resolution0=32, upsampling=2)
-    v_gt, t_gt = extract_mesh(gt_field, resolution0=32, upsampling_steps=2)
+                                     resolution0=res0, upsampling=ups)
+    v_gt, t_gt = extract_mesh(gt_field, resolution0=res0, upsampling_steps=ups)
     cd = chamfer_distance(verts, tris, v_gt, t_gt)
+    summary["mesh_resolution"] = f"res0 {res0} + {ups} upsamplings " \
+                                 f"({res0 * 2 ** ups}^3 effective)"
     summary["mesh_chamfer_mm"] = round(cd * 1000, 3)
+    # extraction-resolution floor: the SAME analytic field extracted at the
+    # round-2 resolution (128^3) vs the headline resolution — pure
+    # discretization, no field error
+    v_lo, t_lo = extract_mesh(gt_field, resolution0=32, upsampling_steps=2)
+    summary["mesh_extraction_floor_128_mm"] = round(
+        chamfer_distance(v_lo, t_lo, v_gt, t_gt) * 1000, 3)
+    v_plo, t_plo = r1.extract_mesh_to(os.path.join(wd, "mesh_128.ply"),
+                                      resolution0=32, upsampling=2)
+    summary["mesh_chamfer_128_mm"] = round(
+        chamfer_distance(v_plo, t_plo, v_lo, t_lo) * 1000, 3)
     summary["mesh_s"] = round(time.time() - t0, 1)
     summary["mesh_tris"] = int(len(tris))
 
