@@ -108,6 +108,19 @@ def make_mask_carver(
     return carve
 
 
+def pixel_to_ndc_camera(K: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Fold the pixel->[-1,1] screen map into a pixel-space intrinsics matrix
+    so it can be used as `camera_mats` in make_mask_carver (the carver's
+    projection is the reference's NDC convention, extracting.py:350-368;
+    its inverse pixel map is px = (x + 1)(w - 1) / 2)."""
+    ndc = np.eye(4, dtype=np.float32)
+    ndc[0, 0], ndc[0, 2] = 2.0 / (w - 1), -1.0
+    ndc[1, 1], ndc[1, 2] = 2.0 / (h - 1), -1.0
+    k44 = np.eye(4, dtype=np.float32)
+    k44[:3, :3] = np.asarray(K, np.float32)[:3, :3]
+    return ndc @ k44
+
+
 def _disk(r: int) -> np.ndarray:
     y, x = np.mgrid[-r:r + 1, -r:r + 1]
     return (x * x + y * y <= r * r)

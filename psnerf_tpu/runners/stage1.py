@@ -591,12 +591,17 @@ class Stage1Runner:
         if mask_carve:
             from psnerf_tpu.mesh.refine import make_mask_carver
 
-            # projection uses K @ w2c in the reference's [-1,1] convention
+            # the carver projects with camera_mat @ w2c in the reference's
+            # [-1, 1] screen convention (extracting.py:350-368); our K is
+            # pixel-space, so fold the pixel->NDC map into the camera matrix
+            from psnerf_tpu.mesh.refine import pixel_to_ndc_camera
+
             w2c = np.stack([np.linalg.inv(np.asarray(p))
                             for p in self.data["poses"]])
+            h, w = np.asarray(self.data["masks"]).shape[1:]
             carver = make_mask_carver(
-                np.asarray(self.data["masks"]), 
-                np.broadcast_to(np.asarray(self.data["K"]),
+                np.asarray(self.data["masks"]),
+                np.broadcast_to(pixel_to_ndc_camera(self.data["K"], h, w),
                                 (self.n_views, 4, 4)),
                 w2c, dilate_radius=dilate_radius,
             )

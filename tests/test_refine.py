@@ -61,3 +61,39 @@ def test_mask_carver_keeps_visible_region():
     ], np.float32)
     keep = carve(pts)
     assert keep[0] and keep[1] and not keep[2]
+
+
+def test_mask_carver_pixel_intrinsics():
+    """pixel_to_ndc_camera folds a pixel-space K into the carver's [-1,1]
+    convention: with a real perspective camera (f=1.6*W, principal point at
+    the image center — the synthetic-scene rig) points on the observed
+    sphere survive and points outside every silhouette are carved. Guards
+    the extract_mesh_to(mask_carve=True) path, which passes the dataset's
+    pixel K (regression: the raw pixel K projected everything outside
+    [-1,1], carving the whole grid to empty)."""
+    from psnerf_tpu.mesh.refine import pixel_to_ndc_camera
+
+    h = w = 96
+    f, c = 1.6 * w, (w - 1) / 2.0
+    K = np.asarray([[f, 0, c], [0, f, c], [0, 0, 1]], np.float32)
+    # camera at z=-2.5 (CV: +z forward into the scene), looking at origin
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 2.5
+    # silhouette of a radius-0.3 sphere at the origin: project a point grid
+    ys, xs = np.mgrid[0:h, 0:w]
+    r_px = f * 0.3 / 2.5  # small-angle silhouette radius in pixels
+    mask = (((ys - c) ** 2 + (xs - c) ** 2) < r_px**2).astype(np.float32)
+
+    carve = make_mask_carver(mask[None], pixel_to_ndc_camera(K, h, w)[None],
+                             w2c[None], dilate_radius=2)
+    rng = np.random.default_rng(1)
+    on = rng.normal(size=(500, 3))
+    on = (0.28 * on / np.linalg.norm(on, axis=1, keepdims=True)).astype(
+        np.float32)
+    assert carve(on).all()
+    # off-axis points outside the silhouette cone (a point BETWEEN sphere
+    # and camera on the axis is inside the cone and rightly survives —
+    # silhouette carving is a visual hull)
+    off = np.asarray([[0.8, 0.0, 0.0], [0.0, -0.9, 0.2], [0.0, 0.5, 0.5]],
+                     np.float32)
+    assert not carve(off).any()

@@ -118,8 +118,14 @@ def main():
     # from extraction-resolution error (the round-2 numbers were published
     # from a 128^3 extraction with the resolution unrecorded — VERDICT r2).
     res0, ups = 64, args.mesh_upsample
+    # mask_carve = the reference's silhouette-carving step (extracting.py:
+    # 120-126, value_grid[~occ] = -30): regions outside every training
+    # frustum are unconstrained by the mask loss and can hold spurious
+    # occupancy — without carving they surface as floaters that dominate
+    # the Chamfer number.
     verts, tris = r1.extract_mesh_to(os.path.join(wd, "mesh.ply"),
-                                     resolution0=res0, upsampling=ups)
+                                     resolution0=res0, upsampling=ups,
+                                     mask_carve=True)
     v_gt, t_gt = extract_mesh(gt_field, resolution0=res0, upsampling_steps=ups)
     cd = chamfer_distance(verts, tris, v_gt, t_gt)
     summary["mesh_resolution"] = f"res0 {res0} + {ups} upsamplings " \
@@ -132,7 +138,8 @@ def main():
     summary["mesh_extraction_floor_128_mm"] = round(
         chamfer_distance(v_lo, t_lo, v_gt, t_gt) * 1000, 3)
     v_plo, t_plo = r1.extract_mesh_to(os.path.join(wd, "mesh_128.ply"),
-                                      resolution0=32, upsampling=2)
+                                      resolution0=32, upsampling=2,
+                                      mask_carve=True)
     summary["mesh_chamfer_128_mm"] = round(
         chamfer_distance(v_plo, t_plo, v_lo, t_lo) * 1000, 3)
     summary["mesh_s"] = round(time.time() - t0, 1)
