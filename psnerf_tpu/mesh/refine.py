@@ -87,23 +87,34 @@ def make_mask_carver(
     ]).astype(np.float32)
     h, w = masks.shape[1:]
 
+    # fold K @ w2c once per view; dense-grid carving (512^3 = 134M points)
+    # runs chunked in float32 so per-view temporaries stay small instead of
+    # materializing a dozen full-grid arrays per view
+    proj_mats = np.stack([
+        (camera_mats[vi] @ world_mats[vi]).astype(np.float32)
+        for vi in range(len(masks))])
+    chunk = 1 << 22
+
     def carve(points: np.ndarray) -> np.ndarray:
         n = points.shape[0]
-        keep = np.ones((n,), bool)
-        inside_any = np.zeros((n,), bool)
-        phom = np.concatenate([points, np.ones((n, 1), points.dtype)], -1)
-        for vi in range(len(dil)):
-            proj = (camera_mats[vi] @ world_mats[vi] @ phom.T)
-            xy = (proj[:2] / proj[2][None]).T  # [-1, 1] convention
-            inside = ((xy[:, 0] >= -1) & (xy[:, 0] <= 1)
-                      & (xy[:, 1] >= -1) & (xy[:, 1] <= 1))
-            inside_any |= inside
-            px = ((xy[:, 0] + 1) * (w - 1) / 2).astype(int).clip(0, w - 1)
-            py = ((xy[:, 1] + 1) * (h - 1) / 2).astype(int).clip(0, h - 1)
-            occ = np.ones((n,), np.float32)
-            occ[inside] = dil[vi][py[inside], px[inside]]
-            keep &= occ >= 0.5
-        return inside_any & keep
+        out = np.empty((n,), bool)
+        for s in range(0, n, chunk):
+            pts = np.asarray(points[s:s + chunk], np.float32)
+            keep = np.ones((len(pts),), bool)
+            inside_any = np.zeros((len(pts),), bool)
+            for vi in range(len(dil)):
+                pm = proj_mats[vi]
+                proj = pts @ pm[:3, :3].T + pm[:3, 3]
+                xy = proj[:, :2] / proj[:, 2:3]    # [-1, 1] convention
+                inside = ((xy[:, 0] >= -1) & (xy[:, 0] <= 1)
+                          & (xy[:, 1] >= -1) & (xy[:, 1] <= 1))
+                inside_any |= inside
+                px = ((xy[:, 0] + 1) * (w - 1) * 0.5).astype(np.int64)
+                py = ((xy[:, 1] + 1) * (h - 1) * 0.5).astype(np.int64)
+                occ = dil[vi][py.clip(0, h - 1), px.clip(0, w - 1)]
+                keep &= np.where(inside, occ >= 0.5, True)
+            out[s:s + chunk] = inside_any & keep
+        return out
 
     return carve
 
