@@ -97,3 +97,37 @@ def test_mask_carver_pixel_intrinsics():
     off = np.asarray([[0.8, 0.0, 0.0], [0.0, -0.9, 0.2], [0.0, 0.5, 0.5]],
                      np.float32)
     assert not carve(off).any()
+
+
+def test_extract_mesh_carve_removes_offaxis_floater():
+    """End-to-end extract_mesh(mask_carve=...): a field with the real
+    surface plus a spurious blob outside the camera frustum extracts WITH
+    the blob uncarved and WITHOUT it carved, and the carved surface matches
+    the analytic radius (the reference's extracting.py:120-126 semantics:
+    carved grid cells are driven to -30 before marching)."""
+    from psnerf_tpu.mesh.refine import pixel_to_ndc_camera
+
+    def field(p):
+        d_sphere = 0.35 - np.linalg.norm(p, axis=-1)
+        d_blob = 0.12 - np.linalg.norm(
+            p - np.asarray([0.9, 0.0, 0.0]), axis=-1)
+        return np.maximum(d_sphere, d_blob)
+
+    h = w = 128
+    f, c = 1.6 * w, (w - 1) / 2.0
+    K = np.asarray([[f, 0, c], [0, f, c], [0, 0, 1]], np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    r_px = f * 0.35 / 2.5
+    mask = (((ys - c) ** 2 + (xs - c) ** 2) < r_px**2).astype(np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 2.5
+    carver = make_mask_carver(mask[None], pixel_to_ndc_camera(K, h, w)[None],
+                              w2c[None], dilate_radius=3)
+
+    v0, _ = extract_mesh(field, resolution0=24, upsampling_steps=1)
+    assert v0[:, 0].max() > 0.8  # blob surfaces without carving
+    v1, _ = extract_mesh(field, resolution0=24, upsampling_steps=1,
+                         mask_carve=carver)
+    assert v1[:, 0].max() < 0.5  # blob carved away
+    r = np.linalg.norm(v1, axis=1)
+    np.testing.assert_allclose(r.mean(), 0.35, atol=0.02)
