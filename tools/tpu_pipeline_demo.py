@@ -30,6 +30,10 @@ def main():
                     help="activation storage dtype of the stage-1 field's "
                          "differentiated pass (training is HBM-bound; "
                          "bfloat16 halves the traffic, params stay f32)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed for both runners (the scene itself "
+                         "stays seed-fixed, so different seeds measure "
+                         "same-config trajectory spread)")
     ap.add_argument("--mesh-upsample", type=int, default=3,
                     help="MISE upsampling steps from res0 64 (3 = 512^3)")
     ap.add_argument("--scene", choices=("sphere", "snowman"),
@@ -85,7 +89,8 @@ def main():
         checkpoint_every=2000, backup_every=100000,
     )
     t0 = time.time()
-    r1 = Stage1Runner(cfg1, os.path.join(wd, "stage1"), resume=True)
+    r1 = Stage1Runner(cfg1, os.path.join(wd, "stage1"), seed=args.seed,
+                      resume=True)
     r1.train(args.stage1_iters, log_every=200)
     summary["stage1_train_s"] = round(time.time() - t0, 1)
 
@@ -157,7 +162,8 @@ def main():
         train_all_pixels=False, ckpt_freq=100000,
     )
     t0 = time.time()
-    r2 = Stage2Runner(cfg2, os.path.join(wd, "stage2"), resume=True)
+    r2 = Stage2Runner(cfg2, os.path.join(wd, "stage2"), seed=args.seed,
+                      resume=True)
     r2.train(args.stage2_iters, log_every=200)
     summary["stage2_train_s"] = round(time.time() - t0, 1)
 
