@@ -9,6 +9,9 @@ test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
 test-fast:       ## everything except the end-to-end pipeline test
 	python -m pytest tests/ -q --ignore=tests/test_pipeline.py
 
+test-ab:         ## opt-in A/B vs the reference's own C++ (builds from its tree)
+	PSNERF_REF_AB=1 python -m pytest tests/test_mesh_ab.py -q
+
 bench:           ## headline benchmark on the attached TPU chip (one JSON line)
 	python bench.py
 

@@ -499,6 +499,9 @@ def _trim_packed_bar(grads, packed):
 
 
 _SHARDED_OP_CACHE: dict = {}
+# keys hold Mesh objects (pinning their devices) — bound the cache so a
+# long-lived process creating many meshes can't leak closures without limit
+_SHARDED_OP_CACHE_MAX = 16
 
 
 def _make_sharded_op(cfg, tile, interpret, compute, mesh):
@@ -509,6 +512,8 @@ def _make_sharded_op(cfg, tile, interpret, compute, mesh):
     key = (cfg, tile, interpret, compute, mesh)
     if key in _SHARDED_OP_CACHE:
         return _SHARDED_OP_CACHE[key]
+    while len(_SHARDED_OP_CACHE) >= _SHARDED_OP_CACHE_MAX:  # FIFO eviction
+        _SHARDED_OP_CACHE.pop(next(iter(_SHARDED_OP_CACHE)))
 
     from jax.sharding import PartitionSpec as P
 
@@ -577,6 +582,10 @@ def fused_radiance_and_alpha(
     mesh: optional Mesh with a 'rays' axis — the kernels run per-device via
     shard_map over the point axis, with the weight-gradient psum done inside
     the custom vjp (fused kernels keep composing when training scales out)."""
+    assert tile % 8 == 0, (
+        f"radiance tile={tile} must be a multiple of 8: the backward's "
+        "[8, W] VPU partial-sum accumulators (_p8) reshape the tile into "
+        "8 sublane groups")
     shape = p.shape[:-1]
     p = p.reshape(-1, 3)
     ray_d = ray_d.reshape(-1, 3)

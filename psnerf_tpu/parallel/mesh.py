@@ -88,8 +88,8 @@ def shard_stage2_batch_2d(batch: dict, mesh: Mesh) -> dict:
     """Lay a stage-2 batch over a 2-D (rays x lights) mesh: per-pixel keys
     shard over the ray axis, per-(light, pixel) keys over BOTH axes, and the
     light-index row over the light axis. XLA inserts the light-axis reduction
-    collectives the loss sums need (SURVEY.md §2.b). The training light count
-    must divide the light-axis size; vis-train lights stay ray-sharded only
+    collectives the loss sums need (SURVEY.md §2.b). The light-axis size must
+    divide the training light count; vis-train lights stay ray-sharded only
     (their count is schedule-dependent)."""
     n_light = mesh.shape[LIGHT_AXIS]
     out = {}

@@ -36,6 +36,11 @@ class Stage1TrainConfig:
     # 512 measured ~3% faster than 256 at the bear config (2048x96 points),
     # 1024 regresses — tune here for other batch geometries
     radiance_tile: int = 512
+    # row-tile of the fused occupancy kernel (marching/visibility queries)
+    occ_tile: int = 1024
+    # run both fused kernels in Pallas interpret mode (CPU tests/dryruns);
+    # production TPU leaves this False
+    fused_interpret: bool = False
     weights: Stage1LossWeights = Stage1LossWeights()
 
 
@@ -67,13 +72,16 @@ def make_stage1_train_step(
         if use_fused_occ:
             from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
 
-            occ_fn = make_fused_occ_fn(params, field_cfg, mesh=mesh)
+            occ_fn = make_fused_occ_fn(
+                params, field_cfg, tile=tcfg.occ_tile,
+                interpret=tcfg.fused_interpret, mesh=mesh)
         radiance_fn = None
         if use_fused_radiance:
             from psnerf_tpu.ops.fused_radiance import fused_radiance_and_alpha
 
             radiance_fn = lambda p, rd: fused_radiance_and_alpha(
                 params, p, rd, field_cfg, tile=tcfg.radiance_tile,
+                interpret=tcfg.fused_interpret,
                 compute=("bfloat16" if field_cfg.compute_dtype == "bfloat16"
                          else "float32"), mesh=mesh)
         out = render_unisurf(

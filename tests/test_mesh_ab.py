@@ -18,9 +18,14 @@ from psnerf_tpu.mesh.native import marching_cubes
 
 _REF_DIR = "/root/reference/stage1/utils/libmcubes"
 
+# This A/B fixture compiles and EXECUTES C++ from the (untrusted, read-only)
+# reference tree. Opt in explicitly: PSNERF_REF_AB=1 make test runs it; the
+# default suite skips so plain `pytest` never builds/runs reference code.
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(_REF_DIR, "marchingcubes.cpp")),
-    reason="reference libmcubes sources not available",
+    os.environ.get("PSNERF_REF_AB") != "1"
+    or not os.path.exists(os.path.join(_REF_DIR, "marchingcubes.cpp")),
+    reason="opt-in A/B vs the reference tree (set PSNERF_REF_AB=1; "
+           "compiles+runs C++ from /root/reference)",
 )
 
 _WRAPPER = r"""

@@ -136,7 +136,6 @@ def test_sharded_frame_renderer_with_fused_vis_shade():
 def test_stage1_train_step_with_sharded_kernels(tmp_path):
     """End-to-end wiring: the train step with BOTH fused kernels active under
     a mesh must match the plain XLA train step (same batch, same key)."""
-    from psnerf_tpu.ops import fused_occ, fused_radiance
     from psnerf_tpu.parallel import replicate, shard_stage1_batch
     from psnerf_tpu.render.unisurf import UnisurfConfig
     from psnerf_tpu.train.stage1 import (
@@ -157,31 +156,20 @@ def test_stage1_train_step_with_sharded_kernels(tmp_path):
     p_ref, _, t_ref = step_ref(params, opt0, batch, 100.0,
                                jax.random.PRNGKey(5), use_outside=True)
 
-    # interpret-mode kernels on CPU: wrappers override tile/interpret
-    orig_rad = fused_radiance.fused_radiance_and_alpha
-    orig_occ = fused_occ.make_fused_occ_fn
-
-    def patched_rad(params, p, rd, cfg, tile=None, interpret=None, **kw):
-        return orig_rad(params, p, rd, cfg, tile=128, interpret=True, **kw)
-
-    def patched_occ(params, cfg, tile=1024, interpret=False, mesh=None):
-        return orig_occ(params, cfg, tile=1024, interpret=True, mesh=mesh)
-
-    fused_radiance.fused_radiance_and_alpha = patched_rad
-    fused_occ.make_fused_occ_fn = patched_occ
-    try:
-        _, step_fused = make_stage1_train_step(
-            CFG, rcfg, tcfg, use_fused_occ=True, use_fused_radiance=True,
-            mesh=mesh)
-        with mesh:
-            pr = replicate(params, mesh)
-            orr = replicate(opt0, mesh)
-            sb = shard_stage1_batch(batch, mesh)
-            p_f, _, t_f = step_fused(pr, orr, sb, 100.0,
-                                     jax.random.PRNGKey(5), use_outside=True)
-    finally:
-        fused_radiance.fused_radiance_and_alpha = orig_rad
-        fused_occ.make_fused_occ_fn = orig_occ
+    # interpret-mode kernels on CPU, configured exactly the way production
+    # does — through Stage1TrainConfig (no module-global monkeypatching)
+    tcfg_fused = Stage1TrainConfig(
+        n_training_points=64, milestone_iters=(),
+        radiance_tile=128, occ_tile=1024, fused_interpret=True)
+    _, step_fused = make_stage1_train_step(
+        CFG, rcfg, tcfg_fused, use_fused_occ=True, use_fused_radiance=True,
+        mesh=mesh)
+    with mesh:
+        pr = replicate(params, mesh)
+        orr = replicate(opt0, mesh)
+        sb = shard_stage1_batch(batch, mesh)
+        p_f, _, t_f = step_fused(pr, orr, sb, 100.0,
+                                 jax.random.PRNGKey(5), use_outside=True)
 
     assert abs(float(t_f["loss"]) - float(t_ref["loss"])) < 2e-3
     for a, b in zip(jax.tree_util.tree_leaves(p_ref),
