@@ -1,3 +1,6 @@
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +139,74 @@ def test_lpips_unavailable_is_loud(tmp_path, monkeypatch):
     metric = LPIPS()
     assert not metric.available and metric(np.zeros((4, 4, 3)),
                                            np.zeros((4, 4, 3))) is None
+
+
+def _random_lpips_npz(path: str, seed: int = 3) -> None:
+    """Random-but-valid lpips-alex weights through the REAL export tool."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from export_lpips_npz import export_from_state_dict
+
+    rng = np.random.default_rng(seed)
+    slice_of_conv = {0: 1, 3: 2, 6: 3, 8: 4, 10: 5}
+    kernels = [11, 5, 3, 3, 3]
+    sd = {}
+    in_ch = 3
+    for i, (conv_id, k, out_ch) in enumerate(
+            zip(slice_of_conv, kernels, _TAP_CHANNELS)):
+        sd[f"net.slice{slice_of_conv[conv_id]}.{conv_id}.weight"] = \
+            rng.normal(0, 0.05, (out_ch, in_ch, k, k)).astype(np.float32)
+        sd[f"net.slice{slice_of_conv[conv_id]}.{conv_id}.bias"] = \
+            rng.normal(0, 0.01, (out_ch,)).astype(np.float32)
+        sd[f"lin{i}.model.1.weight"] = \
+            rng.random((1, out_ch, 1, 1)).astype(np.float32)
+        in_ch = out_ch
+    export_from_state_dict(sd, path)
+
+
+def test_lpips_end_to_end_through_evaluation(tmp_path, monkeypatch):
+    """Full plumbing smoke (VERDICT r3 #8): random-but-valid AlexNet+head
+    weights -> tools/export_lpips_npz.py -> LPIPS_WEIGHTS -> the REAL
+    evaluation.evaluate_outputs path produces a numeric lpips (meaningless
+    value, real execution). Drop real weights at LPIPS_WEIGHTS and the
+    published metric lights up with zero code changes."""
+    import shutil
+
+    import imageio.v2 as imageio
+
+    from psnerf_tpu.data.synthetic import generate_synthetic_scene
+    from psnerf_tpu.eval.evaluation import evaluate_outputs
+
+    scene = str(tmp_path / "scene")
+    generate_synthetic_scene(scene, n_views=2, n_test=1, n_lights=2,
+                             hw=(48, 48), radius=0.6, focal=60.0)
+    with open(os.path.join(scene, "params.json")) as f:
+        para = json.load(f)
+    out = str(tmp_path / "test_out")
+
+    # fabricate a stage-2 output tree for the test views: predictions =
+    # GT images + norm_mask + world-rotated GT normals (the eval contract,
+    # reference evaluation.py:28-97)
+    poses = np.asarray(para["pose_c2w"], np.float32)
+    for vi in para["view_test"]:
+        name = f"view_{vi + 1:02d}"
+        os.makedirs(os.path.join(out, "rgb", "img", name))
+        os.makedirs(os.path.join(out, "mask", "img"), exist_ok=True)
+        os.makedirs(os.path.join(out, "normal", "npy"), exist_ok=True)
+        for li in range(len(para["light_direction"])):
+            shutil.copy(
+                os.path.join(scene, "img", name, f"{li + 1:03d}.png"),
+                os.path.join(out, "rgb", "img", name, f"{li + 1:03d}.png"))
+        shutil.copy(os.path.join(scene, "norm_mask", name + ".png"),
+                    os.path.join(out, "mask", "img", name + ".png"))
+        n_cam = np.load(os.path.join(scene, "normal", "npy", name + ".npy"))
+        n_world = np.einsum("ij,hwj->hwi", poses[vi, :3, :3], n_cam)
+        np.save(os.path.join(out, "normal", "npy", name + ".npy"), n_world)
+
+    npz = str(tmp_path / "lpips_alex.npz")
+    _random_lpips_npz(npz)
+    monkeypatch.setenv("LPIPS_WEIGHTS", npz)
+    res = evaluate_outputs(scene, out)
+    assert isinstance(res["lpips"], float) and np.isfinite(res["lpips"]), res
+    assert res["psnr"] > 40  # predictions are the GT images themselves
