@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--mask_carve", action="store_true",
                    help="carve by dilated multi-view silhouettes")
     p.add_argument("--clip_bottom", type=float, default=None)
+    p.add_argument("--exterior_only", action="store_true",
+                   help="flood-fill enclosed interior pockets before "
+                        "marching: extract only the exterior surface")
 
     p = sub.add_parser("stage2-train")
     p.add_argument("--conf", required=True)
@@ -151,7 +154,8 @@ def main(argv=None):
             out = args.out or os.path.join(workdir, "mesh.ply")
             verts, tris = runner.extract_mesh_to(
                 out, args.resolution0, args.upsampling,
-                mask_carve=args.mask_carve, clip_bottom=args.clip_bottom)
+                mask_carve=args.mask_carve, clip_bottom=args.clip_bottom,
+                exterior_only=args.exterior_only)
             print(f"mesh: {len(verts)} verts, {len(tris)} tris -> {out}")
 
     elif cmd in ("stage2-train", "stage2-eval"):

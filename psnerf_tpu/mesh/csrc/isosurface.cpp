@@ -21,8 +21,9 @@
 
 namespace {
 
+template <typename T>
 struct Mesher {
-  const double* g;
+  const T* g;
   int64_t nx, ny, nz;
   double iso;
   std::vector<double> verts;    // x,y,z triples
@@ -30,7 +31,7 @@ struct Mesher {
   std::unordered_map<uint64_t, int64_t> edge_vert;
 
   double at(int64_t x, int64_t y, int64_t z) const {
-    return g[(x * ny + y) * nz + z];
+    return (double)g[(x * ny + y) * nz + z];
   }
   uint64_t corner_id(int64_t x, int64_t y, int64_t z) const {
     return (uint64_t)((x * (ny + 1) + y) * (nz + 1) + z);
@@ -148,6 +149,22 @@ struct Mesher {
   }
 };
 
+// type-erased result so the C API serves both grid dtypes (the extraction
+// pipeline keeps the dense grid in float32 end-to-end on a 1-core host —
+// half the memory traffic of the round-3 double path)
+struct Result {
+  std::vector<double> verts;
+  std::vector<int64_t> tris;
+};
+
+template <typename T>
+Result* run_mesher(const T* grid, int64_t nx, int64_t ny, int64_t nz,
+                   double iso) {
+  Mesher<T> m{grid, nx, ny, nz, iso};
+  m.run();
+  return new Result{std::move(m.verts), std::move(m.tris)};
+}
+
 }  // namespace
 
 extern "C" {
@@ -155,17 +172,19 @@ extern "C" {
 // Returns handle; caller reads counts, then copies, then frees.
 void* iso_run(const double* grid, int64_t nx, int64_t ny, int64_t nz,
               double iso) {
-  Mesher* m = new Mesher{grid, nx, ny, nz, iso};
-  m->run();
-  return m;
+  return run_mesher<double>(grid, nx, ny, nz, iso);
 }
-int64_t iso_n_verts(void* h) { return (int64_t)(((Mesher*)h)->verts.size() / 3); }
-int64_t iso_n_tris(void* h) { return (int64_t)(((Mesher*)h)->tris.size() / 3); }
+void* iso_run_f32(const float* grid, int64_t nx, int64_t ny, int64_t nz,
+                  double iso) {
+  return run_mesher<float>(grid, nx, ny, nz, iso);
+}
+int64_t iso_n_verts(void* h) { return (int64_t)(((Result*)h)->verts.size() / 3); }
+int64_t iso_n_tris(void* h) { return (int64_t)(((Result*)h)->tris.size() / 3); }
 void iso_copy(void* h, double* verts_out, int64_t* tris_out) {
-  Mesher* m = (Mesher*)h;
+  Result* m = (Result*)h;
   std::copy(m->verts.begin(), m->verts.end(), verts_out);
   std::copy(m->tris.begin(), m->tris.end(), tris_out);
 }
-void iso_free(void* h) { delete (Mesher*)h; }
+void iso_free(void* h) { delete (Result*)h; }
 
 }  // extern "C"

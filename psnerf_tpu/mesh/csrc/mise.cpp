@@ -16,6 +16,8 @@
 // Exposed through a plain C API for ctypes (no pybind11 in this image).
 
 #include <cmath>
+#include <limits>
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -134,35 +136,47 @@ struct Mise {
           add_point(v.x + i * ns, v.y + j * ns, v.z + k * ns);
   }
 
-  void to_dense(double* out) const {
+  template <typename T>
+  void to_dense_t(T* out) const {
+    // single-core host: keep the fill vectorizable (branchless selects, the
+    // x/y passes carry no dependency along the inner contiguous axis)
     int n = res + 1;
     size_t total = (size_t)n * n * n;
-    for (size_t i = 0; i < total; i++) out[i] = std::nan("");
+    const T NaN = std::numeric_limits<T>::quiet_NaN();
+    std::fill(out, out + total, NaN);
     for (const auto& kv : value) {
       int x, y, z;
       punpack(kv.first, &x, &y, &z);
-      out[((size_t)x * n + y) * n + z] = kv.second;
+      out[((size_t)x * n + y) * n + z] = (T)kv.second;
     }
     // propagate along x, then y, then z (reference order)
-    for (int i = 1; i < n; i++)
-      for (int j = 0; j < n; j++)
-        for (int k = 0; k < n; k++) {
-          size_t o = ((size_t)i * n + j) * n + k;
-          if (std::isnan(out[o])) out[o] = out[o - (size_t)n * n];
-        }
+    const size_t nn = (size_t)n * n;
+    for (int i = 1; i < n; i++) {
+      T* cur = out + (size_t)i * nn;
+      const T* prev = cur - nn;
+#pragma GCC ivdep
+      for (size_t o = 0; o < nn; o++) {
+        T v = cur[o];
+        cur[o] = std::isnan(v) ? prev[o] : v;
+      }
+    }
     for (int i = 0; i < n; i++)
-      for (int j = 1; j < n; j++)
+      for (int j = 1; j < n; j++) {
+        T* cur = out + (size_t)i * nn + (size_t)j * n;
+        const T* prev = cur - n;
+#pragma GCC ivdep
         for (int k = 0; k < n; k++) {
-          size_t o = ((size_t)i * n + j) * n + k;
-          if (std::isnan(out[o])) out[o] = out[o - n];
+          T v = cur[k];
+          cur[k] = std::isnan(v) ? prev[k] : v;
         }
-    for (int i = 0; i < n; i++)
-      for (int j = 0; j < n; j++)
-        for (int k = 1; k < n; k++) {
-          size_t o = ((size_t)i * n + j) * n + k;
-          if (std::isnan(out[o])) out[o] = out[o - 1];
-        }
+      }
+    for (size_t row = 0; row < (size_t)n * n; row++) {
+      T* line = out + row * n;
+      for (int k = 1; k < n; k++)
+        if (std::isnan(line[k])) line[k] = line[k - 1];
+    }
   }
+  void to_dense(double* out) const { to_dense_t<double>(out); }
 };
 
 }  // namespace
@@ -192,6 +206,9 @@ void mise_update(void* h, const int64_t* pts, const double* vals, int64_t n) {
   ((Mise*)h)->update(pts, vals, n);
 }
 
+void mise_to_dense_f32(void* h, float* out) {
+  ((Mise*)h)->to_dense_t<float>(out);
+}
 void mise_to_dense(void* h, double* out) { ((Mise*)h)->to_dense(out); }
 
 }  // extern "C"

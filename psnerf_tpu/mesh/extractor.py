@@ -29,36 +29,46 @@ def extract_mesh(
     points_batch: int = 100_000,
     mask_carve: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     clip_bottom: Optional[float] = None,
+    exterior_only: bool = False,
 ):
     """Returns (vertices [V,3] float32 world coords, triangles [T,3] int64).
 
     mask_carve: optional fn points[N,3] -> bool[N] keep-mask (multi-view
     silhouette carving, extracting.py:120-126). clip_bottom: clip z below
     this world coordinate (extracting.py:130-132).
+
+    exterior_only: flood-fill the dense value grid from the box boundary and
+    fill every enclosed empty pocket to "inside" before marching, so only the
+    exterior surface is extracted. UNISURF's interior is unsupervised — it
+    can hollow out, and the raw-mesh Chamfer protocol (shared with the
+    reference's chamfer_dist.py:19-41) then samples interior cavity walls:
+    the snowman seed-7 run published 32.3 mm from a cavity while its exterior
+    error was 2.8-5.3 mm (VERDICT r3 #2). The reference has no counterpart;
+    both protocols should be published side by side.
     """
     iso = math.log(threshold) - math.log(1.0 - threshold)
     box_size = 2.0 + padding
 
     def eval_padded(pts: np.ndarray) -> np.ndarray:
-        """Evaluate in fixed-size chunks (pad the tail) to avoid retraces."""
+        """Evaluate in fixed-size chunks (pad the tail) to avoid retraces;
+        queue every chunk before fetching (one blocking tail per MISE round
+        instead of one device round trip per chunk)."""
         n = pts.shape[0]
-        out = np.empty((n,), np.float64)
-        for s in range(0, n, points_batch):
-            chunk = pts[s:s + points_batch]
-            if chunk.shape[0] < points_batch:
-                pad = np.zeros((points_batch - chunk.shape[0], 3), chunk.dtype)
-                vals = np.asarray(value_fn(np.concatenate([chunk, pad], 0)))
-                out[s:s + chunk.shape[0]] = vals[: chunk.shape[0]]
-            else:
-                out[s:s + points_batch] = np.asarray(value_fn(chunk))
-        return out
+        pad = (-n) % points_batch
+        if pad:
+            pts = np.concatenate(
+                [pts, np.zeros((pad, 3), pts.dtype)], 0)
+        pending = [value_fn(pts[s:s + points_batch])
+                   for s in range(0, n + pad, points_batch)]
+        return np.concatenate(
+            [np.asarray(v, np.float64) for v in pending])[:n]
 
     if upsampling_steps == 0:
         nx = resolution0
         lin = np.linspace(-0.5, 0.5, nx)
         grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
         pts = (box_size * grid).reshape(-1, 3).astype(np.float32)
-        value_grid = eval_padded(pts).reshape(nx, nx, nx)
+        value_grid = eval_padded(pts).reshape(nx, nx, nx).astype(np.float32)
         res = nx - 1
     else:
         mise = MISE(resolution0, upsampling_steps, iso)
@@ -70,19 +80,30 @@ def extract_mesh(
             values = eval_padded(pts)
             mise.update(points, values)
             points = mise.query()
-        value_grid = mise.to_dense()
+        # f32 end-to-end: the dense grid is 0.54 GB at 513^3 (vs 1.08 f64)
+        # and every downstream host pass (carve mask, clip, flood fill, pad,
+        # marching) is memory-bound on a single core
+        value_grid = mise.to_dense(np.float32)
 
     n = value_grid.shape[0]
     if mask_carve is not None:
-        lin = np.linspace(-0.5, 0.5, n)
-        grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
-        pts = (box_size * grid).reshape(-1, 3).astype(np.float32)
-        keep = mask_carve(pts).reshape(value_grid.shape)
-        value_grid = np.where(keep, value_grid, -30.0)
+        if hasattr(mask_carve, "carve_dense_grid"):
+            # device path: grid coordinates generated on chip, no [n^3, 3]
+            # host array (mesh/refine.make_mask_carver)
+            keep = mask_carve.carve_dense_grid(n, box_size)
+        else:
+            lin = np.linspace(-0.5, 0.5, n)
+            grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+            pts = (box_size * grid).reshape(-1, 3).astype(np.float32)
+            keep = mask_carve(pts).reshape(value_grid.shape)
+        np.logical_not(keep, out=keep)
+        value_grid[keep] = -30.0  # in-place: no second full-grid temp
     if clip_bottom is not None:
         lin = box_size * np.linspace(-0.5, 0.5, n)
         zmask = lin < clip_bottom
         value_grid[:, :, zmask] = -30.0
+    if exterior_only:
+        value_grid = fill_enclosed_pockets(value_grid, iso)
 
     padded = np.pad(value_grid, 1, "constant", constant_values=-1e6)
     verts, tris = marching_cubes(padded, iso)
@@ -91,6 +112,31 @@ def extract_mesh(
     verts = verts / (n - 1)
     verts = box_size * (verts - 0.5)
     return verts.astype(np.float32), tris
+
+
+def fill_enclosed_pockets(value_grid: np.ndarray, iso: float) -> np.ndarray:
+    """Fill every below-iso region NOT face-connected to the box boundary to
+    'inside' (+30), leaving only the exterior surface for marching. The
+    connected-component labelling runs on host (one pass over the dense grid,
+    ~2s at 513^3) — the grid is already host-resident at this point."""
+    from scipy import ndimage
+
+    outside = value_grid < iso
+    lbl, n_lbl = ndimage.label(outside)  # 6-connectivity (faces)
+    if n_lbl == 0:
+        return value_grid
+    boundary = np.unique(np.concatenate([
+        lbl[0].ravel(), lbl[-1].ravel(),
+        lbl[:, 0].ravel(), lbl[:, -1].ravel(),
+        lbl[:, :, 0].ravel(), lbl[:, :, -1].ravel()]))
+    reach = np.zeros(n_lbl + 1, bool)
+    reach[boundary] = True
+    reach[0] = False
+    enclosed = outside & ~reach[lbl]
+    if enclosed.any():
+        value_grid = value_grid.copy()
+        value_grid[enclosed] = 30.0  # in-place fill, dtype preserved
+    return value_grid
 
 
 def _field_logit_jit(field_params, pts, field_cfg):
@@ -102,8 +148,15 @@ def _field_logit_jit(field_params, pts, field_cfg):
 _field_logit_cache: dict = {}
 
 
-def make_field_value_fn(field_params, field_cfg, jit: bool = True):
-    """Inside-positive logit evaluator for extract_mesh.
+def make_field_value_fn(field_params, field_cfg, jit: bool = True,
+                        fused: bool = False, fused_tile: int = 1024,
+                        fused_interpret: bool = False):
+    """Inside-positive logit evaluator for extract_mesh. Returns device
+    arrays (extract_mesh queues chunks and fetches in one tail).
+
+    fused: run the evaluations through the fused Pallas occupancy kernel
+    (the trunk stays VMEM-resident; pair with a >=1M points_batch — MISE
+    evaluation was the mesh step's device bottleneck, VERDICT r3 #1).
 
     Params are passed as jit ARGUMENTS (cfg static), so repeated extractions
     with updated params reuse one compiled program instead of re-baking the
@@ -111,13 +164,20 @@ def make_field_value_fn(field_params, field_cfg, jit: bool = True):
     import jax
     import jax.numpy as jnp
 
+    if fused:
+        from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
+
+        fn = make_fused_occ_fn(field_params, field_cfg, tile=fused_tile,
+                               interpret=fused_interpret,
+                               output="inside_logit")
+        # hand the jitted chunk fn host arrays directly: the transfer happens
+        # at the dispatch boundary, no eager asarray op
+        return lambda pts: fn(np.ascontiguousarray(pts, np.float32))
     if jit:
         fn = _field_logit_cache.get("jit")
         if fn is None:
             fn = _field_logit_cache["jit"] = jax.jit(
                 _field_logit_jit, static_argnames=("field_cfg",))
-        return lambda pts: np.asarray(
-            fn(field_params, jnp.asarray(pts), field_cfg), np.float64)
-    return lambda pts: np.asarray(
-        _field_logit_jit(field_params, jnp.asarray(pts), field_cfg),
-        np.float64)
+        return lambda pts: fn(field_params, jnp.asarray(pts), field_cfg)
+    return lambda pts: _field_logit_jit(
+        field_params, jnp.asarray(pts), field_cfg)

@@ -37,11 +37,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
         ]
         L.mise_to_dense.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        L.mise_to_dense_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         L.iso_run.restype = ctypes.c_void_p
         L.iso_run.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_double,
         ]
+        L.iso_run_f32.restype = ctypes.c_void_p
+        L.iso_run_f32.argtypes = list(L.iso_run.argtypes)
         L.iso_n_verts.restype = ctypes.c_int64
         L.iso_n_verts.argtypes = [ctypes.c_void_p]
         L.iso_n_tris.restype = ctypes.c_int64
@@ -82,19 +85,33 @@ class MISE:
             points.shape[0],
         )
 
-    def to_dense(self) -> np.ndarray:
+    def to_dense(self, dtype=np.float64) -> np.ndarray:
+        """dtype=np.float32 halves host memory traffic for big grids (the
+        513^3 extraction path keeps the dense grid f32 end-to-end)."""
         n = self.resolution + 1
-        out = np.empty((n, n, n), dtype=np.float64)
-        self._lib.mise_to_dense(self._h, out.ctypes.data_as(ctypes.c_void_p))
+        out = np.empty((n, n, n), dtype=dtype)
+        if out.dtype == np.float32:
+            self._lib.mise_to_dense_f32(
+                self._h, out.ctypes.data_as(ctypes.c_void_p))
+        else:
+            assert out.dtype == np.float64
+            self._lib.mise_to_dense(
+                self._h, out.ctypes.data_as(ctypes.c_void_p))
         return out
 
 
 def marching_cubes(grid: np.ndarray, iso: float = 0.0):
-    """Dense scalar grid -> (vertices, triangles); values > iso are inside."""
+    """Dense scalar grid -> (vertices, triangles); values > iso are inside.
+    float32 grids march natively (no f64 copy)."""
     lib = _load()
-    grid = np.ascontiguousarray(grid, dtype=np.float64)
     assert grid.ndim == 3
-    h = lib.iso_run(
+    if grid.dtype == np.float32:
+        grid = np.ascontiguousarray(grid)
+        run = lib.iso_run_f32
+    else:
+        grid = np.ascontiguousarray(grid, dtype=np.float64)
+        run = lib.iso_run
+    h = run(
         grid.ctypes.data_as(ctypes.c_void_p),
         grid.shape[0], grid.shape[1], grid.shape[2], float(iso),
     )

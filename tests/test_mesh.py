@@ -111,3 +111,43 @@ def test_sample_surface_on_sphere():
     pts = sample_surface(v, t, 5000)
     radii = np.linalg.norm(pts, axis=-1)
     np.testing.assert_allclose(radii.mean(), 0.7, atol=0.02)
+
+
+def test_exterior_only_fills_hollow_shell():
+    """A hollow shell (occupied between r=0.35 and r=0.7) extracts FOUR
+    surfaces raw (outer + cavity wall + the cavity's own inner structure);
+    with exterior_only the enclosed cavity is flood-filled to inside and
+    only the exterior r=0.7 sphere survives — the interior-cavity Chamfer
+    hazard killer (UNISURF interiors are unsupervised and can hollow out)."""
+
+    def shell_logit(pts):
+        r = np.linalg.norm(pts, axis=-1)
+        return np.minimum(0.7 - r, r - 0.35)  # inside-positive in the shell
+
+    v_raw, t_raw = extract_mesh(shell_logit, resolution0=32,
+                                upsampling_steps=1)
+    v_ext, t_ext = extract_mesh(shell_logit, resolution0=32,
+                                upsampling_steps=1, exterior_only=True)
+    r_raw = np.linalg.norm(v_raw, axis=-1)
+    r_ext = np.linalg.norm(v_ext, axis=-1)
+    assert r_raw.min() < 0.45          # raw mesh has the cavity wall
+    assert r_ext.min() > 0.6           # exterior-only: cavity gone
+    np.testing.assert_allclose(r_ext, 0.7, atol=0.03)
+
+    # the Chamfer decomposition this mode exists for: vs the SOLID sphere,
+    # the raw protocol is dominated by cavity walls, exterior-only is clean
+    v_gt, t_gt = extract_mesh(sphere_logit, resolution0=32,
+                              upsampling_steps=1)
+    cd_raw = chamfer_distance(v_raw, t_raw, v_gt, t_gt, num_samples=4000)
+    cd_ext = chamfer_distance(v_ext, t_ext, v_gt, t_gt, num_samples=4000)
+    assert cd_raw > 0.02          # cavity walls dominate
+    assert cd_ext < 1e-6          # identical to the solid extraction
+
+
+def test_exterior_only_noop_on_solid_field():
+    """On a field with no enclosed pockets the mode must be a no-op."""
+    v1, t1 = extract_mesh(sphere_logit, resolution0=16, upsampling_steps=1)
+    v2, t2 = extract_mesh(sphere_logit, resolution0=16, upsampling_steps=1,
+                          exterior_only=True)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(t1, t2)

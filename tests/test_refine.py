@@ -131,3 +131,33 @@ def test_extract_mesh_carve_removes_offaxis_floater():
     assert v1[:, 0].max() < 0.5  # blob carved away
     r = np.linalg.norm(v1, axis=1)
     np.testing.assert_allclose(r.mean(), 0.35, atol=0.02)
+
+
+def test_carve_dense_grid_matches_points_interface():
+    """carve_dense_grid (device-generated grid coords, packed-bit fetch) must
+    agree with the points interface everywhere except 1-ulp pixel-truncation
+    boundaries (the device generates grid coords in f32; host linspace rounds
+    through f64 — coordinate deltas are <= 1 ulp, so only points whose
+    projection lands exactly on a pixel boundary may flip)."""
+    import numpy as np
+
+    from psnerf_tpu.mesh.refine import make_mask_carver, pixel_to_ndc_camera
+
+    h = w = 64
+    mask = np.zeros((h, w), np.float32)
+    mask[16:48, 20:44] = 1
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 60
+    K[0, 2] = K[1, 2] = 32
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 3.0
+    carver = make_mask_carver(mask[None], pixel_to_ndc_camera(K, h, w)[None],
+                              w2c[None], dilate_radius=2)
+    n, box = 33, 2.4
+    lin = np.linspace(-0.5, 0.5, n)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    pts = (box * g).reshape(-1, 3).astype(np.float32)
+    a = carver(pts).reshape(n, n, n)
+    b = carver.carve_dense_grid(n, box)
+    mismatch = (a != b).mean()
+    assert mismatch < 2e-3, f"grid/points carve disagree on {mismatch:.2%}"
