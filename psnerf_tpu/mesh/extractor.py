@@ -46,6 +46,28 @@ def extract_mesh(
     error was 2.8-5.3 mm (VERDICT r3 #2). The reference has no counterpart;
     both protocols should be published side by side.
     """
+    value_grid, iso, box_size = build_value_grid(
+        value_fn, threshold=threshold, resolution0=resolution0,
+        upsampling_steps=upsampling_steps, padding=padding,
+        points_batch=points_batch, mask_carve=mask_carve,
+        clip_bottom=clip_bottom)
+    return march_value_grid(value_grid, iso, box_size,
+                            exterior_only=exterior_only)
+
+
+def build_value_grid(
+    value_fn: Callable[[np.ndarray], np.ndarray],
+    threshold: float = 0.5,
+    resolution0: int = 64,
+    upsampling_steps: int = 3,
+    padding: float = 0.4,
+    points_batch: int = 100_000,
+    mask_carve: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    clip_bottom: Optional[float] = None,
+):
+    """Evaluate + carve + clip the dense value grid (the expensive shared
+    phase); returns (value_grid f32 [n,n,n], iso, box_size). Pair with
+    march_value_grid to extract several protocols from one grid."""
     iso = math.log(threshold) - math.log(1.0 - threshold)
     box_size = 2.0 + padding
 
@@ -102,6 +124,13 @@ def extract_mesh(
         lin = box_size * np.linspace(-0.5, 0.5, n)
         zmask = lin < clip_bottom
         value_grid[:, :, zmask] = -30.0
+    return value_grid, iso, box_size
+
+
+def march_value_grid(value_grid: np.ndarray, iso: float, box_size: float,
+                     exterior_only: bool = False):
+    """Surface a dense value grid -> (verts [V,3] f32 world, tris [T,3])."""
+    n = value_grid.shape[0]
     if exterior_only:
         value_grid = fill_enclosed_pockets(value_grid, iso)
 

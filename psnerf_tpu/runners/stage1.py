@@ -27,7 +27,7 @@ from psnerf_tpu.config import Stage1Config, milestones_epochs_to_iters
 from psnerf_tpu.data.scene import load_scene_params
 from psnerf_tpu.data.stage1 import load_stage1_data, sample_stage1_batch
 from psnerf_tpu.fields.occupancy import init_occupancy_field
-from psnerf_tpu.mesh.extractor import extract_mesh, make_field_value_fn
+from psnerf_tpu.mesh.extractor import make_field_value_fn
 from psnerf_tpu.mesh.meshio import save_obj, save_ply
 from psnerf_tpu.ops.fps import farthest_point_sampling
 from psnerf_tpu.render.unisurf import render_shape_extract, render_unisurf
@@ -591,6 +591,36 @@ class Stage1Runner:
         1M-point padded batches when the runner uses fused kernels, and the
         silhouette carver is a jitted device program — the mesh step's two
         host bottlenecks in round 3 (VERDICT r3 #1)."""
+        from psnerf_tpu.mesh.extractor import march_value_grid
+
+        value_grid, iso, box_size = self._build_value_grid(
+            resolution0, upsampling, mask_carve, dilate_radius, clip_bottom)
+        verts, tris = march_value_grid(value_grid, iso, box_size,
+                                       exterior_only=exterior_only)
+        return self._finish_mesh(path, verts, tris)
+
+    def extract_mesh_both(self, path_raw: str, path_exterior: str,
+                          resolution0: int | None = None,
+                          upsampling: int | None = None,
+                          mask_carve: bool = False,
+                          dilate_radius: int = 12):
+        """Extract BOTH protocols (raw reference-style + exterior-only) from
+        ONE evaluated+carved grid — the flood fill and marching are the only
+        per-protocol work. Returns ((verts, tris), (verts_ext, tris_ext))."""
+        from psnerf_tpu.mesh.extractor import march_value_grid
+
+        value_grid, iso, box_size = self._build_value_grid(
+            resolution0, upsampling, mask_carve, dilate_radius)
+        verts, tris = march_value_grid(value_grid, iso, box_size)
+        v_ext, t_ext = march_value_grid(value_grid, iso, box_size,
+                                        exterior_only=True)
+        return (self._finish_mesh(path_raw, verts, tris),
+                self._finish_mesh(path_exterior, v_ext, t_ext))
+
+    def _build_value_grid(self, resolution0, upsampling, mask_carve,
+                          dilate_radius, clip_bottom=None):
+        from psnerf_tpu.mesh.extractor import build_value_grid
+
         value_fn = make_field_value_fn(self.params, self.cfg.field,
                                        fused=self.use_fused_occ)
         points_batch = (1 << 20) if self.use_fused_occ else 100_000
@@ -612,7 +642,7 @@ class Stage1Runner:
                                 (self.n_views, 4, 4)),
                 w2c, dilate_radius=dilate_radius,
             )
-        verts, tris = extract_mesh(
+        return build_value_grid(
             value_fn,
             resolution0=resolution0 or self.cfg.extraction_resolution,
             upsampling_steps=(upsampling if upsampling is not None
@@ -620,8 +650,9 @@ class Stage1Runner:
             points_batch=points_batch,
             mask_carve=carver,
             clip_bottom=clip_bottom,
-            exterior_only=exterior_only,
         )
+
+    def _finish_mesh(self, path: str, verts, tris):
         if self.cfg.extraction_refinement > 0 and len(verts):
             # RMSprop vertex refinement against the occupancy iso-level
             # (extracting.py:237-323)

@@ -36,6 +36,11 @@ def main():
                          "same-config trajectory spread)")
     ap.add_argument("--mesh-upsample", type=int, default=3,
                     help="MISE upsampling steps from res0 64 (3 = 512^3)")
+    ap.add_argument("--light-bs", type=int, default=8,
+                    help="stage-2 training light batch (reference bear: 10 "
+                         "of 96, confs/bear.conf:17)")
+    ap.add_argument("--vis-train-num", type=int, default=8,
+                    help="stage-2 vis-supervision light count per step")
     ap.add_argument("--scene", choices=("sphere", "snowman"),
                     default="sphere",
                     help="snowman: non-convex two-sphere scene with analytic "
@@ -93,6 +98,8 @@ def main():
                       resume=True)
     r1.train(args.stage1_iters, log_every=200)
     summary["stage1_train_s"] = round(time.time() - t0, 1)
+    summary["stage1_it_s"] = round(args.stage1_iters / max(
+        time.time() - t0, 1e-9), 1)
 
     t0 = time.time()
     r1.render_visdata(os.path.join(wd, "stage1_vis.png"), views=(0,))
@@ -128,14 +135,20 @@ def main():
     # frustum are unconstrained by the mask loss and can hold spurious
     # occupancy — without carving they surface as floaters that dominate
     # the Chamfer number.
-    verts, tris = r1.extract_mesh_to(os.path.join(wd, "mesh.ply"),
-                                     resolution0=res0, upsampling=ups,
-                                     mask_carve=True)
+    # both protocols from ONE evaluated+carved grid: raw (the reference's
+    # extracting.py protocol) + exterior-only (flood-filled interior pockets
+    # — UNISURF interiors are unsupervised and can hollow out; the raw
+    # protocol then samples cavity walls, see RESULTS_snowman note)
+    (verts, tris), (v_ext, t_ext) = r1.extract_mesh_both(
+        os.path.join(wd, "mesh.ply"), os.path.join(wd, "mesh_exterior.ply"),
+        resolution0=res0, upsampling=ups, mask_carve=True)
     v_gt, t_gt = extract_mesh(gt_field, resolution0=res0, upsampling_steps=ups)
     cd = chamfer_distance(verts, tris, v_gt, t_gt)
     summary["mesh_resolution"] = f"res0 {res0} + {ups} upsamplings " \
                                  f"({res0 * 2 ** ups}^3 effective)"
     summary["mesh_chamfer_mm"] = round(cd * 1000, 3)
+    summary["mesh_chamfer_exterior_mm"] = round(
+        chamfer_distance(v_ext, t_ext, v_gt, t_gt) * 1000, 3)
     # extraction-resolution floor: the SAME analytic field extracted at the
     # round-2 resolution (128^3) vs the headline resolution — pure
     # discretization, no field error
@@ -158,7 +171,8 @@ def main():
             weights=Stage2LossWeights()),
         data_dir=scene_dir, stage1_shape_path=exports,
         inten_normalize=None,
-        light_bs=8, vis_train_num=8, num_pixels=4096,
+        light_bs=args.light_bs, vis_train_num=args.vis_train_num,
+        num_pixels=4096,
         train_all_pixels=False, ckpt_freq=100000,
     )
     t0 = time.time()
@@ -166,6 +180,8 @@ def main():
                       resume=True)
     r2.train(args.stage2_iters, log_every=200)
     summary["stage2_train_s"] = round(time.time() - t0, 1)
+    summary["stage2_it_s"] = round(args.stage2_iters / max(
+        time.time() - t0, 1e-9), 1)
 
     t0 = time.time()
     test_out = os.path.join(wd, "test_out")
