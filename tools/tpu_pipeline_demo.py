@@ -41,6 +41,14 @@ def main():
                          "of 96, confs/bear.conf:17)")
     ap.add_argument("--vis-train-num", type=int, default=8,
                     help="stage-2 vis-supervision light count per step")
+    ap.add_argument("--vis-plus-num", type=int, default=64,
+                    help="extra FPS-sampled visibility supervision dirs "
+                         "exported per view (reference vis_plus)")
+    ap.add_argument("--vis-weight", type=float, default=1.0,
+                    help="post-warmup visibility loss weight")
+    ap.add_argument("--warmup-iters", type=int, default=300,
+                    help="stage-2 train_fix warm-up iterations (vis+normal "
+                         "only, albedo/rough/lights frozen)")
     ap.add_argument("--scene", choices=("sphere", "snowman"),
                     default="sphere",
                     help="snowman: non-convex two-sphere scene with analytic "
@@ -110,7 +118,7 @@ def main():
     t0 = time.time()
     exports = os.path.join(wd, "exports")
     r1.shape_extract(exports, visibility=True, vis_plus=True,
-                     vis_plus_num=64, tile=4096, n_steps=256)
+                     vis_plus_num=args.vis_plus_num, tile=4096, n_steps=256)
     summary["shape_extract_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
@@ -167,8 +175,8 @@ def main():
         net=PSNetConfig(light_int=1.2, compute_dtype="bfloat16"),
         train=Stage2TrainConfig(
             sg_learning_rate=5e-4, light_learning_rate=5e-4,
-            train_order=True, warmup_iters=300,
-            weights=Stage2LossWeights()),
+            train_order=True, warmup_iters=args.warmup_iters,
+            weights=Stage2LossWeights(vis_weight=args.vis_weight)),
         data_dir=scene_dir, stage1_shape_path=exports,
         inten_normalize=None,
         light_bs=args.light_bs, vis_train_num=args.vis_train_num,
