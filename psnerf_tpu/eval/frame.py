@@ -95,9 +95,17 @@ def render_frame_stage2(
     outputs: tuple = ("rgb",),
     use_fused_vis: bool = False,
     fused_interpret: bool = False,
+    albedo_new=None,
+    basis_new: int | None = None,
 ) -> dict:
     """Render every pixel under every light. N must be divisible by `tile`
     (callers pad the frame). Returns {name: [L, N, ...] or [N, ...]}.
+
+    albedo_new / basis_new: material-edit hooks (stage2/eval.py:233-312) —
+    the edit path renders through the SAME tiled frame program as standard
+    eval (a monolithic all-lights x all-pixels launch is ~42 GB of
+    activations at 512^2 x 96 lights). Edits take the XLA tile path; the
+    fused vis precompute still applies (edits don't touch visibility).
 
     use_fused_vis: evaluate the visibility MLP for the whole frame with the
     Pallas fused kernel. When the requested outputs allow it (rgb/rgb_sum +
@@ -110,7 +118,8 @@ def render_frame_stage2(
     ray_dirs, _ = get_camera_params(uv, pose, intrinsics)
 
     if (use_fused_vis and cfg.visibility and cfg.render_model == "sgbasis"
-            and set(outputs) <= _FUSED_SHADE_OUTPUTS):
+            and set(outputs) <= _FUSED_SHADE_OUTPUTS
+            and albedo_new is None and basis_new is None):
         k_tile = 1024 if n % 1024 == 0 else 256
         return _render_frame_fused_shade(
             params, cfg, ray_dirs, points, normals, surface_mask,
@@ -140,6 +149,7 @@ def render_frame_stage2(
         out = render_psnet(
             params, cfg, pts, nrm, msk, rays, light_dirs, light_ints,
             key=None, vis_precomputed=vp,
+            albedo_new=albedo_new, basis_new=basis_new,
         )
         res = {k: out[k] for k in outputs
                if k not in ("rgb_sum", "rgb_cnl")}

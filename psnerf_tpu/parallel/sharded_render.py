@@ -24,18 +24,22 @@ def make_sharded_frame_renderer(
     outputs: tuple = ("rgb",),
     use_fused_vis: bool = False,
     fused_interpret: bool = False,
+    albedo_new=None,
+    basis_new: int | None = None,
 ):
     """Returns fn(params, uv, pose, K, points, normals, mask, ldirs, lints)
     -> {name: [L, N, ...]} with N sharded over the mesh during compute.
     N must be divisible by (mesh size * tile). The fused Pallas kernels run
     per device inside the shard_map (fused_interpret: interpreter mode for
-    the CPU test mesh)."""
+    the CPU test mesh). albedo_new/basis_new: material-edit hooks, applied
+    per device (they are pixel-independent constants)."""
 
     def per_device(params, uv, pose, K, pts, nrm, msk, ld, li):
         return render_frame_stage2(
             params, cfg, uv, pose, K, pts, nrm, msk, ld, li,
             tile=tile, outputs=outputs, use_fused_vis=use_fused_vis,
             fused_interpret=fused_interpret,
+            albedo_new=albedo_new, basis_new=basis_new,
         )
 
     # pixel-axis leaves sharded; params/camera/lights replicated

@@ -337,7 +337,8 @@ class Stage2Runner:
                     tile: int = 4096, outputs=("rgb", "albedo", "rough",
                                                "visibility", "normal_pred"),
                     use_fused_vis: bool | None = None,
-                    compact: bool | None = None):
+                    compact: bool | None = None,
+                    albedo_new=None, basis_new: int | None = None):
         """All lights x all pixels of one view, single fused launch.
 
         use_fused_vis: route the visibility MLP through the Pallas kernel
@@ -398,7 +399,11 @@ class Stage2Runner:
         cache = getattr(self, "_frame_fns", None)
         if cache is None:
             cache = self._frame_fns = {}
-        key = (tile, outs, use_fused_vis)
+        # edit hooks are baked into the compiled closure -> part of the key
+        edit_key = (None if albedo_new is None
+                    else tuple(np.asarray(albedo_new, np.float32).tolist()),
+                    basis_new)
+        key = (tile, outs, use_fused_vis, edit_key)
         if key not in cache:
             if self.mesh is not None:
                 # multi-chip eval: each device renders its pixel shard (the
@@ -412,13 +417,16 @@ class Stage2Runner:
                     f"tile={tile} not divisible by the {n_dev}-device mesh")
                 cache[key] = make_sharded_frame_renderer(
                     cfg, self.mesh, tile=tile // n_dev, outputs=outs,
-                    use_fused_vis=use_fused_vis)
+                    use_fused_vis=use_fused_vis,
+                    albedo_new=albedo_new, basis_new=basis_new)
             else:
                 cache[key] = jax.jit(
                     lambda p, uvp, pose, K, pts, nrm, msk, ld, li:
                     render_frame_stage2(p, cfg, uvp, pose, K, pts, nrm, msk,
                                         ld, li, tile=tile, outputs=outs,
-                                        use_fused_vis=use_fused_vis)
+                                        use_fused_vis=use_fused_vis,
+                                        albedo_new=albedo_new,
+                                        basis_new=basis_new)
                 )
         out = cache[key](
             self.params["model"], uv_in, data["poses"][view], data["K"],
@@ -570,24 +578,20 @@ class Stage2Runner:
                       albedo_new=None, basis_new: int | None = None,
                       tile: int = 4096):
         """Material editing (stage2/eval.py:233-312): albedo override and/or
-        single-SG-basis swap, rendered under the trained lights."""
-        from psnerf_tpu.render.shading import render_psnet
-
+        single-SG-basis swap, rendered under the trained lights through the
+        SAME tiled frame renderer as standard eval (the reference's edit loop
+        reuses its split_input chunking, eval.py:278; a monolithic
+        all-lights x all-pixels launch OOMs at 512^2 x 96 lights)."""
         data = self._eval_data(split)
-        cfg = self.cfg.net
         os.makedirs(os.path.join(out_dir, "rgb", "img"), exist_ok=True)
         for v, vi in enumerate(data["views"]):
             dirs, ints = self.trained_lights_for_view(data, v)
             h, w = data["img_res"]
 
-            out = jax.jit(lambda p, pts, nrm, msk, rays, ld, li: render_psnet(
-                p, cfg, pts, nrm, msk, rays, ld, li,
-                albedo_new=albedo_new, basis_new=basis_new))(
-                self.params["model"],
-                data["points"][v], data["normals"][v],
-                data["surface_mask"][v],
-                self._rays(data, v), jnp.asarray(dirs), jnp.asarray(ints),
-            )
+            out = self.render_view(data, v, dirs, ints, tile=tile,
+                                   outputs=("rgb",),
+                                   albedo_new=albedo_new,
+                                   basis_new=basis_new)
             rgb = np.asarray(out["rgb"]).reshape(-1, h, w, 3)
             vdir = os.path.join(out_dir, "rgb", "img", f"view_{vi + 1:02d}")
             os.makedirs(vdir, exist_ok=True)
@@ -595,16 +599,6 @@ class Stage2Runner:
                 imageio.imwrite(os.path.join(vdir, f"{li + 1:03d}.png"),
                                 _to8(rgb[li]))
         return out_dir
-
-    def _rays(self, data, view):
-        from psnerf_tpu.core.rays import get_camera_params
-
-        h, w = data["img_res"]
-        ys, xs = np.mgrid[0:h, 0:w]
-        uv = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32)
-        rays, _ = get_camera_params(uv, data["poses"][view], data["K"])
-        return rays
-
 
 def load_envmap(path: str, light_h: int = 16) -> np.ndarray:
     """Load + resize an envmap to [light_h, 2*light_h, 3]

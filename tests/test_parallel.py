@@ -52,6 +52,39 @@ def test_sharded_frame_matches_single_device():
                                np.asarray(single["albedo"]), atol=1e-5)
 
 
+def test_edit_hooks_through_tiled_and_sharded_frame():
+    """Material edits (albedo_new/basis_new) render through the SAME tiled
+    frame program as standard eval (stage2/eval.py:233-312 reuses its
+    split_input chunking; a monolithic all-lights launch OOMs at
+    512^2 x 96 lights). The tiled path must equal the direct render_psnet
+    edit, and the sharded path must equal the tiled one."""
+    from psnerf_tpu.render.shading import render_psnet
+
+    mesh = make_mesh(8)
+    params, args = _frame_inputs()
+    uv, pose, K, pts, nrm, msk, ld, li = args
+    albedo_new = jnp.asarray([0.8, 0.15, 0.1])
+
+    from psnerf_tpu.core.rays import get_camera_params
+
+    rays, _ = get_camera_params(uv, pose, K)
+    direct = render_psnet(params, CFG, pts, nrm, msk, rays, ld, li,
+                          albedo_new=albedo_new, basis_new=2)
+    tiled = render_frame_stage2(params, CFG, *args, tile=64,
+                                outputs=("rgb",),
+                                albedo_new=albedo_new, basis_new=2)
+    np.testing.assert_allclose(np.asarray(tiled["rgb"]),
+                               np.asarray(direct["rgb"]), atol=1e-5)
+
+    render = make_sharded_frame_renderer(CFG, mesh, tile=64,
+                                         outputs=("rgb",),
+                                         albedo_new=albedo_new, basis_new=2)
+    with mesh:
+        sharded = render(replicate(params, mesh), *args)
+    np.testing.assert_allclose(np.asarray(sharded["rgb"]),
+                               np.asarray(tiled["rgb"]), atol=1e-5)
+
+
 def test_sharded_train_step_matches_single_device():
     """Data-parallel stage-2 train step: gradients psum'd by XLA from the
     sharded batch must equal the single-device step bit-for-tolerance."""

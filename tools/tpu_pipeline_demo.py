@@ -150,6 +150,11 @@ def main():
     (verts, tris), (v_ext, t_ext) = r1.extract_mesh_both(
         os.path.join(wd, "mesh.ply"), os.path.join(wd, "mesh_exterior.ply"),
         resolution0=res0, upsampling=ups, mask_carve=True)
+    # mesh_extract_s = the PIPELINE's mesh step (grid eval + carve + both
+    # marches + ply save); everything after is evaluation-protocol overhead
+    # (analytic GT meshes on the 1-core host + BVH Chamfer), reported
+    # separately as mesh_protocol_s
+    summary["mesh_extract_s"] = round(time.time() - t0, 1)
     v_gt, t_gt = extract_mesh(gt_field, resolution0=res0, upsampling_steps=ups)
     cd = chamfer_distance(verts, tris, v_gt, t_gt)
     summary["mesh_resolution"] = f"res0 {res0} + {ups} upsamplings " \
@@ -169,6 +174,8 @@ def main():
     summary["mesh_chamfer_128_mm"] = round(
         chamfer_distance(v_plo, t_plo, v_lo, t_lo) * 1000, 3)
     summary["mesh_s"] = round(time.time() - t0, 1)
+    summary["mesh_protocol_s"] = round(
+        summary["mesh_s"] - summary["mesh_extract_s"], 1)
     summary["mesh_tris"] = int(len(tris))
 
     cfg2 = Stage2Config(
