@@ -95,7 +95,17 @@ def main():
                              interval_decay=3e-4, num_points_in=32,
                              num_points_out=16, ray_marching_steps=128),
         train=Stage1TrainConfig(
-            learning_rate=5e-4, milestone_iters=(),
+            # the reference's 2-step MultiStepLR (scheduler_milestones
+            # [4000, 8000] epochs x 0.5, bear.yaml:49) scaled to the demo
+            # budget: without terminal lr decay, which seed a run ends on
+            # is final-iterate luck — diagnosed across 5 constant-lr seeds,
+            # whose bad runs ended on a loss spike 2-5x above their own
+            # trajectory minimum (docs/stage1_quality.md)
+            learning_rate=5e-4,
+            # Stage1Runner scales these by n_views (reference milestones
+            # are EPOCHS, scheduler stepped per epoch, train.py:135)
+            milestone_iters=(args.stage1_iters * 8 // 15 // args.views,
+                             args.stage1_iters * 12 // 15 // args.views),
             n_training_points=1024, normal_after=0,
             weights=Stage1LossWeights(use_mask_loss=True, lambda_mask=1.0)),
         data_dir=scene_dir, inten_normalize=None,
@@ -188,6 +198,13 @@ def main():
         inten_normalize=None,
         light_bs=args.light_bs, vis_train_num=args.vis_train_num,
         num_pixels=4096,
+        # the reference's 5-step sg_sched_milestones (bear.conf:49, x0.5
+        # each, evenly spaced once scaled by dataset x light_bs,
+        # trainer.py:118-124) scaled to the demo budget; Stage2Runner
+        # converts epochs -> iters via n_views * light_bs
+        sched_milestones_epochs=tuple(
+            max(1, args.stage2_iters * k // 5 // (args.views * args.light_bs))
+            for k in range(1, 5)),
         train_all_pixels=False, ckpt_freq=100000,
     )
     t0 = time.time()
