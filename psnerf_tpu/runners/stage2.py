@@ -109,14 +109,18 @@ class Stage2Runner:
         model = init_psnet(jax.random.PRNGKey(seed), cfg.net)
         self.params = init_stage2_params(model, dirs0, ints0)
 
-        # milestones: epochs * dataset_len * light_bs (trainer.py:118-124)
-        tcfg = dataclasses.replace(
-            cfg.train,
-            milestone_iters=tuple(
-                int(m) * self.n_views * self.light_bs
-                for m in cfg.sched_milestones_epochs
-            ),
-        )
+        # milestones: epochs * dataset_len * light_bs (trainer.py:118-124);
+        # when no epoch-unit schedule is configured, an iteration-unit
+        # train.milestone_iters passed directly is respected as-is
+        tcfg = cfg.train
+        if cfg.sched_milestones_epochs:
+            tcfg = dataclasses.replace(
+                tcfg,
+                milestone_iters=tuple(
+                    int(m) * self.n_views * self.light_bs
+                    for m in cfg.sched_milestones_epochs
+                ),
+            )
         self.tcfg = tcfg
         init_opt, self.step_fn = make_stage2_train_step(cfg.net, tcfg)
         self.opt_state = init_opt(self.params)

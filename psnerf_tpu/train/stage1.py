@@ -27,7 +27,10 @@ from psnerf_tpu.train.optim import adam_init, adam_update, multistep_lr
 class Stage1TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
-    milestone_iters: Sequence[int] = (60000, 120000)  # epochs x dataset len
+    # NOTE: through Stage1Runner these are EPOCH units (scaled by n_views —
+    # the reference steps its scheduler per epoch, stage1/train.py:135);
+    # make_stage1_train_step used directly treats them as iterations
+    milestone_iters: Sequence[int] = (60000, 120000)
     gamma: float = 0.5
     n_training_points: int = 2048
     normal_after: int = 1000

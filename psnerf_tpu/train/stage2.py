@@ -37,7 +37,11 @@ class Stage2TrainConfig:
     sg_learning_rate: float = 5e-4
     light_learning_rate: float = 5e-4
     light_inten_lr: float = 1e-3
-    milestone_iters: Sequence[int] = ()   # sg_sched_milestones x len(ds) x light_bs
+    # iteration-unit milestones. Stage2Runner overrides these from the
+    # epoch-unit Stage2Config.sched_milestones_epochs (x n_views x light_bs,
+    # trainer.py:118-124) when that is non-empty; a direct value here is
+    # respected otherwise.
+    milestone_iters: Sequence[int] = ()
     gamma: float = 0.5
     light_train: bool = True
     light_inten_train: bool = True
