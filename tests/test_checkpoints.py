@@ -5,8 +5,10 @@ import numpy as np
 import pytest
 
 from psnerf_tpu.train.checkpoints import (
+    is_url,
     latest_checkpoint,
     load_checkpoint,
+    resolve_checkpoint_source,
     save_checkpoint,
 )
 
@@ -31,6 +33,36 @@ def test_shape_mismatch_rejected(tmp_path):
         load_checkpoint(path, {"w": jnp.ones((4,))})
     with pytest.raises(KeyError):
         load_checkpoint(path, {"w2": jnp.ones((3,))})
+
+
+def test_load_checkpoint_from_url(tmp_path):
+    """URL loads fetch-once into a cache then read the npz — the model_zoo
+    counterpart (reference stage1/model/checkpoints.py:55-95). file://
+    exercises the real fetch path without network egress."""
+    assert is_url("https://x.test/m.npz") and is_url("file:///tmp/m.npz")
+    assert not is_url("/abs/path/m.npz") and not is_url("rel/m.npz")
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3)}
+    src = str(tmp_path / "remote" / "model.npz")
+    save_checkpoint(src, tree, {"it": 7})
+    cache = str(tmp_path / "cache")
+    url = "file://" + src
+
+    local = resolve_checkpoint_source(url, cache_dir=cache)
+    assert local == os.path.join(cache, "model.npz")
+    t2, sc = load_checkpoint(local, tree)
+    assert sc == {"it": 7}
+    np.testing.assert_array_equal(np.asarray(t2["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+
+    # cache hit: the source can disappear and the resolve still succeeds
+    os.remove(src)
+    assert resolve_checkpoint_source(url, cache_dir=cache) == local
+
+    # offline/unreachable URLs fail loudly, not with a hung socket
+    os.remove(local)
+    with pytest.raises(RuntimeError, match="egress"):
+        resolve_checkpoint_source("file://" + src, cache_dir=cache)
 
 
 def test_latest_checkpoint(tmp_path):
