@@ -49,10 +49,12 @@ def make_sharded_march_fn(field_cfg, rcfg, mesh, n_steps: int = 512,
     return jax.jit(fn)
 
 
-def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None):
+def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None,
+                        vis_steps: int = 128, vis_rescale: bool = False):
     """Returns fn(params, surf [N,3], light_dir [L,3]) -> visibility [L,N]
     sharded over a 2-D (rays x lights) mesh: N % ray_devices == 0 and
-    L % light_devices == 0 (callers pad both)."""
+    L % light_devices == 0 (callers pad both). vis_steps/vis_rescale select
+    the per-ray box-exit-rescaled march (see render/marching.py)."""
     from psnerf_tpu.fields.occupancy import occ_alpha
     from psnerf_tpu.render.marching import light_visibility
 
@@ -61,7 +63,8 @@ def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None):
             occ_fn = occ_builder(params)
         else:
             occ_fn = lambda p: occ_alpha(params, p, field_cfg)
-        return light_visibility(occ_fn, pts, ldir)
+        return light_visibility(occ_fn, pts, ldir, n_steps=vis_steps,
+                                rescale=vis_rescale)
 
     fn = jax.shard_map(
         per_device, mesh=mesh2,

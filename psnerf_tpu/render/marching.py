@@ -147,6 +147,7 @@ def light_visibility(
     lfar: float = 3.5,
     n_steps: int = 128,
     box: float = 1.1,
+    rescale: bool = False,
 ) -> jnp.ndarray:
     """Transmittance toward each light: 1 - integrated occupancy along the
     light ray (stage1/model/rendering.py:378-408).
@@ -158,15 +159,47 @@ def light_visibility(
     mapping (rather than vmapping) the light axis keeps the working set at
     one light's samples — vmap would materialize [L, N*S, ...] at once,
     which OOMs at export scale (80 lights x 4096 px x 128 steps).
-    """
-    t = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
 
-    def one_light(ldir):
-        p = surf[:, None, :] + ldir[None, None, :] * t[None, :, None]  # [N, S, 3]
-        alpha = occ_fn(p.reshape(-1, 3)).reshape(-1, n_steps)
-        inside = jnp.all((p <= box) & (p >= -box), axis=-1)  # [N, S]
-        alpha = jnp.where(inside, alpha, 0.0)
-        acc = jnp.sum(alpha_composite(alpha), axis=-1)
-        return 1.0 - acc
+    rescale=False (reference-faithful): S samples uniform on [lnear, lfar],
+    samples outside the ±box clip zeroed AFTER evaluation — for surface
+    points the ray leaves the box within ~1.8 units, so over half the field
+    evaluations are spent on samples that are then masked away.
+    rescale=True: S samples uniform on [lnear, per-ray box-exit distance]
+    (the box is convex, so the inside samples are exactly a prefix of any
+    ray) — every evaluation lands inside the clip box, and with S=64 the
+    sample spacing is at least as fine as the reference's 128-over-[0.1,3.5]
+    grid for every ray whose box exit is within 1.79 units (PARITY.md
+    documented delta; A/B'd in tests/test_render.py and on the analytic
+    cast-shadow scene).
+    """
+    if not rescale:
+        t = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
+
+        def one_light(ldir):
+            p = surf[:, None, :] + ldir[None, None, :] * t[None, :, None]
+            alpha = occ_fn(p.reshape(-1, 3)).reshape(-1, n_steps)  # [N, S]
+            inside = jnp.all((p <= box) & (p >= -box), axis=-1)  # [N, S]
+            alpha = jnp.where(inside, alpha, 0.0)
+            acc = jnp.sum(alpha_composite(alpha), axis=-1)
+            return 1.0 - acc
+
+    else:
+        frac = jnp.linspace(0.0, 1.0, n_steps, dtype=surf.dtype)  # [S]
+
+        def one_light(ldir):
+            # exit distance of x = surf + t*ldir from the [-box, box]^3 cube:
+            # per axis the positive root of |x_a| = box, then the min
+            t_axis = jnp.where(ldir[None, :] > 0,
+                               _safe_div(box - surf, ldir[None, :]),
+                               _safe_div(-box - surf, ldir[None, :]))  # [N,3]
+            t_axis = jnp.where(jnp.abs(ldir)[None, :] < 1e-8, jnp.inf, t_axis)
+            t_exit = jnp.clip(jnp.min(t_axis, axis=-1), lnear + 1e-3, lfar)
+            t = lnear + (t_exit - lnear)[:, None] * frac[None, :]  # [N, S]
+            p = surf[:, None, :] + ldir[None, None, :] * t[..., None]
+            alpha = occ_fn(p.reshape(-1, 3)).reshape(-1, n_steps)
+            inside = jnp.all((p <= box) & (p >= -box), axis=-1)
+            alpha = jnp.where(inside, alpha, 0.0)
+            acc = jnp.sum(alpha_composite(alpha), axis=-1)
+            return 1.0 - acc
 
     return jax.lax.stop_gradient(jax.lax.map(one_light, light_dir))

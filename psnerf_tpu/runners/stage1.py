@@ -394,10 +394,19 @@ class Stage1Runner:
     def shape_extract(self, out_dir: str, visibility: bool = True,
                       vis_plus: bool = False, vis_plus_num: int = 256,
                       semisphere: bool = True, tile: int = 4096,
-                      n_steps: int = 512, seed: int = 0):
+                      n_steps: int = 512, seed: int = 0,
+                      vis_steps: int = 128, vis_rescale: bool = False):
         """Export per-view surface points/normals/mask (+ visibility,
         vis_plus) for stage-2 (reference stage1/shape_extract.py:92-171).
-        Arrays are saved [H,W,...] like the reference (row-major pixels)."""
+        Arrays are saved [H,W,...] like the reference (row-major pixels).
+
+        vis_steps/vis_rescale: visibility-march sampling. The default is the
+        reference's fixed 128-step [0.1, 3.5] grid (rendering.py:378-408);
+        vis_rescale=True spans the same step budget over [lnear, per-ray
+        box exit] instead, so no field evaluation is spent on samples the
+        ±1.1 clip box would zero anyway — at vis_steps=64 this halves the
+        export's dominant FLOP cost at equal-or-finer sample spacing for
+        every realistic ray (PARITY.md documented delta)."""
         data = load_stage1_data(
             self.scene, "all", self.cfg.inten_normalize, self.cfg.train_view,
             self.cfg.train_light, False, self.cfg.render.white_background,
@@ -432,7 +441,7 @@ class Stage1Runner:
         cache = getattr(self, "_extract_fns", None)
         if cache is None:
             cache = self._extract_fns = {}
-        ckey = (tile, n_steps)
+        ckey = (tile, n_steps, vis_steps, vis_rescale)
         if ckey not in cache:
             if self.mesh is not None:
                 # sharded export: march over the ray axis, visibility over a
@@ -460,7 +469,8 @@ class Stage1Runner:
                     occ_builder=occ_builder)
                 vis_mesh = export_vis_mesh(self.mesh)
                 _vis_sharded = make_sharded_vis_fn(
-                    cfg.field, vis_mesh, occ_builder=occ_builder)
+                    cfg.field, vis_mesh, occ_builder=occ_builder,
+                    vis_steps=vis_steps, vis_rescale=vis_rescale)
                 n_light_dev = vis_mesh.shape[LIGHT_AXIS]
 
                 def vis_fn(params, surf_pts, light_dir):
@@ -489,7 +499,9 @@ class Stage1Runner:
                     occ_fn = self._occ_fn(params)
                     if occ_fn is None:
                         occ_fn = lambda p: occ_alpha(params, p, cfg.field)
-                    return light_visibility(occ_fn, surf_pts, light_dir)
+                    return light_visibility(occ_fn, surf_pts, light_dir,
+                                            n_steps=vis_steps,
+                                            rescale=vis_rescale)
 
             cache[ckey] = (march_fn, vis_fn)
         _march_fn, _vis_fn = cache[ckey]

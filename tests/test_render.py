@@ -78,6 +78,43 @@ def test_light_visibility_self_shadow():
     assert float(vis[1, 0]) < 0.1
 
 
+def test_light_visibility_rescaled_matches_fixed():
+    """The box-exit-rescaled march (64 steps over [lnear, per-ray exit])
+    must agree with the reference-faithful fixed grid (128 over [0.1, 3.5])
+    on every decisive ray — it spends the same or finer sample spacing
+    inside the clip box while skipping the guaranteed-masked tail."""
+    rng = np.random.default_rng(3)
+    # points on the sphere surface, nudged outward like the export does
+    n = rng.normal(size=(64, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    surf = jnp.asarray(0.72 * n, jnp.float32)
+    ldir = rng.normal(size=(12, 3))
+    ldir /= np.linalg.norm(ldir, axis=-1, keepdims=True)
+    ldir = jnp.asarray(ldir, jnp.float32)
+
+    occ = lambda p: sphere_occ(p, sharp=120.0)  # decisive shell
+    vis_fix = np.asarray(light_visibility(
+        occ, surf, ldir, lnear=0.05, lfar=3.5, n_steps=128))
+    vis_res = np.asarray(light_visibility(
+        occ, surf, ldir, lnear=0.05, lfar=3.5, n_steps=64,
+        rescale=True))
+    # identical binarized occlusion on every decisive ray (borderline rays
+    # graze the wide sphere_occ shell, where the compositing sum is
+    # legitimately sampling-density-dependent — see the analytic-GT A/B in
+    # tests/test_shadows.py for the accuracy ranking)
+    decisive = (np.abs(vis_fix - 0.5) > 0.25) & (np.abs(vis_res - 0.5) > 0.25)
+    assert decisive.mean() > 0.8
+    np.testing.assert_array_equal(vis_fix[decisive] > 0.5,
+                                  vis_res[decisive] > 0.5)
+    # clear rays (no occupancy anywhere along them) agree closely in value;
+    # grazing/occluded rays may differ in softness (denser sampling inside
+    # the smooth shell integrates MORE alpha), always toward more decisive
+    clear = vis_fix > 0.98
+    assert clear.any() and (~clear).any()
+    np.testing.assert_allclose(vis_res[clear], vis_fix[clear], atol=0.03)
+    assert np.all(vis_res[~clear] <= vis_fix[~clear] + 0.03)
+
+
 FIELD_CFG = OccFieldConfig(num_layers=4, hidden_dim=64, feat_size=64)
 RCFG = UnisurfConfig(
     near=1.0, far=5.0, radius=2.0, num_points_in=16, num_points_out=8,

@@ -146,6 +146,40 @@ def test_marched_visibility_matches_analytic_cast_shadows():
     assert np.median(vis_marched[cast]) < 0.1
 
 
+def test_rescaled_visibility_march_cast_shadow_accuracy():
+    """The export's half-cost visibility mode (64 steps rescaled to the
+    per-ray box exit, marching.py light_visibility rescale=True) must match
+    analytic CAST-shadow occlusion at least as well as the
+    reference-faithful 128-step fixed grid it replaces."""
+    from psnerf_tpu.render import light_visibility
+
+    sharp = 120.0
+    hit, pts, nrm, sid = _camera_and_surface()
+    vis_gt = analytic_visibility(pts, nrm, sid, SHADOW_LIGHTS,
+                                 _snowman_spheres())
+    surf = jnp.asarray(pts[hit], jnp.float32) + 0.02 * jnp.asarray(
+        nrm[hit], jnp.float32)
+    ldir = jnp.asarray(SHADOW_LIGHTS, jnp.float32)
+    gt = vis_gt[:, hit]
+
+    err = {}
+    for tag, kw in [("fixed128", dict(n_steps=128)),
+                    ("rescaled64", dict(n_steps=64, rescale=True))]:
+        vis = np.asarray(jax.jit(
+            lambda s, kw=kw: light_visibility(
+                _snowman_occ(sharp), s, ldir, lnear=0.05, lfar=3.5, **kw)
+        )(surf))
+        err[tag] = np.mean((vis > 0.5).astype(np.float32) != gt)
+    # absolute errors here are dominated by the analytic shell's smooth
+    # boundary band (binary GT is undefined inside it — see the clearance
+    # analysis in the test above); what matters is the RANKING: the
+    # half-cost rescaled march must be at least as accurate as the fixed
+    # grid it replaces. Measured: fixed128 7.8%, rescaled64 6.6%
+    # (rescaled128 4.3% beats even fixed320's 5.5%).
+    assert err["fixed128"] < 0.09
+    assert err["rescaled64"] <= err["fixed128"], err
+
+
 @pytest.fixture(scope="module")
 def snowman_scene(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("snowman"))

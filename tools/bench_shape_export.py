@@ -1,0 +1,117 @@
+"""A/B the shape/visibility export on a trained flagship checkpoint (TPU):
+the reference-faithful fixed 128-step visibility march vs the rescaled
+per-ray box-exit march at half the step budget (marching.py
+light_visibility rescale=True). Reports wall time per mode and the
+agreement between the two exports' visibility maps.
+
+The visibility pass is ~90% of the export's field-evaluation FLOPs (each of
+~80k surface pixels marches n_steps trunk evaluations toward every light
+dir — reference rendering.py:378-408), so this mode targets the export's
+dominant cost directly.
+
+Usage:
+  python tools/bench_shape_export.py --workdir /tmp/flag12_s7 \
+      [--vis-plus-num 64] [--tile 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True,
+                    help="a tpu_pipeline_demo workdir (scene/ + stage1/)")
+    ap.add_argument("--vis-plus-num", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=4096)
+    ap.add_argument("--n-steps", type=int, default=256,
+                    help="surface-march steps (pass 1)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the two export dirs instead of deleting")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from psnerf_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from psnerf_tpu.config import Stage1Config
+    from psnerf_tpu.fields.occupancy import OccFieldConfig
+    from psnerf_tpu.render.unisurf import UnisurfConfig
+    from psnerf_tpu.runners.stage1 import Stage1Runner
+    from psnerf_tpu.train.stage1 import Stage1TrainConfig
+
+    scene_dir = os.path.join(args.workdir, "scene")
+    cfg1 = Stage1Config(
+        field=OccFieldConfig(num_layers=8, hidden_dim=256, feat_size=256,
+                             octaves_pe=6, octaves_pe_views=4,
+                             compute_dtype="bfloat16"),
+        render=UnisurfConfig(near=1.2, far=5.0, radius=1.2,
+                             interval_start=0.6, interval_end=0.05,
+                             interval_decay=3e-4, num_points_in=32,
+                             num_points_out=16, ray_marching_steps=128),
+        train=Stage1TrainConfig(learning_rate=5e-4, milestone_iters=(),
+                                n_training_points=1024, normal_after=0),
+        data_dir=scene_dir, inten_normalize=None,
+    )
+    r1 = Stage1Runner(cfg1, os.path.join(args.workdir, "stage1"), resume=True)
+
+    modes = {
+        "fixed128": dict(vis_steps=128, vis_rescale=False),
+        "rescaled64": dict(vis_steps=64, vis_rescale=True),
+    }
+    summary = {"workdir": args.workdir, "vis_plus_num": args.vis_plus_num}
+    dirs = {}
+    for tag, kw in modes.items():
+        out = os.path.join(args.workdir, f"export_ab_{tag}")
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        t0 = time.time()
+        r1.shape_extract(out, visibility=True, vis_plus=True,
+                         vis_plus_num=args.vis_plus_num, tile=args.tile,
+                         n_steps=args.n_steps, **kw)
+        summary[f"export_s_{tag}"] = round(time.time() - t0, 1)
+        dirs[tag] = out
+        print(f"[{tag}] {summary[f'export_s_{tag}']}s", flush=True)
+
+    # agreement between the two exports' visibility maps, on surface pixels
+    n_agree, n_tot, max_lit_delta = [], 0, 0.0
+    for fa in sorted(glob.glob(os.path.join(dirs["fixed128"],
+                                            "visibility", "*.npy"))):
+        name = os.path.basename(fa)
+        va = np.load(fa)
+        vb = np.load(os.path.join(dirs["rescaled64"], "visibility", name))
+        mask = np.load(os.path.join(dirs["fixed128"], "mask",
+                                    name)).astype(bool)
+        a, b = va[:, mask], vb[:, mask]
+        n_agree.append(((a > 0.5) == (b > 0.5)).mean())
+        n_tot += a.size
+        lit = a > 0.9
+        if lit.any():
+            max_lit_delta = max(max_lit_delta,
+                                float(np.abs(a[lit] - b[lit]).max()))
+    summary["vis_binary_agreement"] = round(float(np.mean(n_agree)), 5)
+    summary["vis_lit_max_abs_delta"] = round(max_lit_delta, 4)
+    summary["n_vis_values"] = int(n_tot)
+    summary["speedup"] = round(
+        summary["export_s_fixed128"] / summary["export_s_rescaled64"], 2)
+
+    if not args.keep:
+        for d in dirs.values():
+            shutil.rmtree(d)
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

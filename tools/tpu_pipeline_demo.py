@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--vis-plus-num", type=int, default=64,
                     help="extra FPS-sampled visibility supervision dirs "
                          "exported per view (reference vis_plus)")
+    ap.add_argument("--vis-steps", type=int, default=128,
+                    help="visibility-march steps in the shape export")
+    ap.add_argument("--vis-rescale", action="store_true",
+                    help="span the visibility-march step budget over "
+                         "[lnear, per-ray box exit] instead of the "
+                         "reference's fixed [0.1, 3.5] grid — at "
+                         "--vis-steps 64 this halves the export's dominant "
+                         "FLOP cost at equal-or-better accuracy "
+                         "(tests/test_shadows.py A/B)")
     ap.add_argument("--vis-weight", type=float, default=1.0,
                     help="post-warmup visibility loss weight")
     ap.add_argument("--warmup-iters", type=int, default=300,
@@ -128,7 +137,8 @@ def main():
     t0 = time.time()
     exports = os.path.join(wd, "exports")
     r1.shape_extract(exports, visibility=True, vis_plus=True,
-                     vis_plus_num=args.vis_plus_num, tile=4096, n_steps=256)
+                     vis_plus_num=args.vis_plus_num, tile=4096, n_steps=256,
+                     vis_steps=args.vis_steps, vis_rescale=args.vis_rescale)
     summary["shape_extract_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
