@@ -177,8 +177,9 @@ def main():
     summary["mesh_extract_s"] = round(time.time() - t0, 1)
     v_gt, t_gt = extract_mesh(gt_field, resolution0=res0, upsampling_steps=ups)
     cd = chamfer_distance(verts, tris, v_gt, t_gt)
-    summary["mesh_resolution"] = f"res0 {res0} + {ups} upsamplings " \
-                                 f"({res0 * 2 ** ups}^3 effective)"
+    summary["mesh_resolution"] = (
+        f"res0 {res0} + {ups} upsamplings ({res0 * 2 ** ups}^3 effective), "
+        "silhouette-carved (extracting.py:120-126 protocol)")
     summary["mesh_chamfer_mm"] = round(cd * 1000, 3)
     summary["mesh_chamfer_exterior_mm"] = round(
         chamfer_distance(v_ext, t_ext, v_gt, t_gt) * 1000, 3)
