@@ -44,15 +44,19 @@ def main():
     ap.add_argument("--vis-plus-num", type=int, default=64,
                     help="extra FPS-sampled visibility supervision dirs "
                          "exported per view (reference vis_plus)")
-    ap.add_argument("--vis-steps", type=int, default=128,
+    ap.add_argument("--vis-steps", type=int, default=64,
                     help="visibility-march steps in the shape export")
-    ap.add_argument("--vis-rescale", action="store_true",
+    ap.add_argument("--vis-rescale", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="span the visibility-march step budget over "
                          "[lnear, per-ray box exit] instead of the "
-                         "reference's fixed [0.1, 3.5] grid — at "
-                         "--vis-steps 64 this halves the export's dominant "
-                         "FLOP cost at equal-or-better accuracy "
-                         "(tests/test_shadows.py A/B)")
+                         "reference's fixed [0.1, 3.5] grid — at the "
+                         "default 64 steps this cuts the export 2.54x at "
+                         "equal-or-better accuracy (RESULTS_export_ab.json, "
+                         "PARITY.md delta 12; end-to-end neutrality "
+                         "validated at 96 lights). "
+                         "--no-vis-rescale --vis-steps 128 restores the "
+                         "reference-faithful export")
     ap.add_argument("--vis-weight", type=float, default=1.0,
                     help="post-warmup visibility loss weight")
     ap.add_argument("--warmup-iters", type=int, default=300,
