@@ -323,6 +323,9 @@ class Stage2Config:
     vis_loss: bool = True
     vis_plus: bool = True
     vis_train_num: int = 8
+    # on-device image store: "auto" keeps 8-bit PNG bytes (bit-exact after
+    # the on-device /255, 4x less transfer+HBM), "f32" forces float
+    image_store: str = "auto"
     normal_train: bool = True
     plot_freq: int = 1000
     ckpt_freq: int = 1000

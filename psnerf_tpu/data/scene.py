@@ -128,6 +128,20 @@ def load_image(path: str) -> np.ndarray:
     return img
 
 
+def load_image_u8(path: str) -> np.ndarray | None:
+    """Raw 8-bit image bytes, or None when the source isn't 8-bit RGB(A).
+
+    Keeping the bytes and dividing by 255 later (on device) reproduces
+    load_image() bit-exactly — f32(u)/f32(255.0) is the same single IEEE
+    division either way — at a quarter of the transfer/HBM cost."""
+    if path.endswith(".exr"):
+        return None
+    img = np.asarray(imageio.imread(path))
+    if img.dtype != np.uint8 or img.ndim != 3:
+        return None
+    return img[..., :3]
+
+
 def load_mask(path: str) -> np.ndarray:
     m = np.asarray(imageio.imread(path), np.float32)
     if m.ndim == 3:

@@ -14,7 +14,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psnerf_tpu.data.scene import SceneParams, load_image, load_mask
+from psnerf_tpu.data.scene import SceneParams, load_image, load_image_u8, load_mask
+
+
+def decode_imgs(x):
+    """uint8-stored images → float32 in [0,1]; float images pass through.
+
+    The u8 store is bit-exact vs loading as float (one IEEE division by
+    255.0 either way), so callers never see a numeric difference."""
+    if x.dtype == jnp.uint8 or x.dtype == np.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
 
 
 def load_stage2_data(
@@ -28,9 +38,12 @@ def load_stage2_data(
     vis_loss: bool = True,
     vis_plus: bool = True,
     multi_light: bool = True,
+    image_store: str = "auto",
 ) -> dict:
     """Returns host/device dict:
-      imgs [V,L,H*W,3] (masked), object_masks [V,H*W] bool,
+      imgs [V,L,H*W,3] (masked; uint8 when image_store resolves to "u8" —
+        decode with decode_imgs, bit-exact at 1/4 the HBM/transfer),
+      object_masks [V,H*W] bool,
       points/normals [V,H*W,3], surface_mask [V,H*W] (stage-1 exports),
       visibility [V,L,H*W], gt_normal [V,H*W,3],
       light_dirs [V,L,3] world (json dirs rotated), light_slt [V,L],
@@ -40,6 +53,12 @@ def load_stage2_data(
     views = scene.view_split(split, train_view, all_view)
     im_sub, _ = scene.img_subdir(inten_normalize, train_light)
     light_dirs, light_slt = scene.lights_world(views, train_light)
+    if image_store not in ("auto", "u8", "f32"):
+        raise ValueError(f"image_store must be auto|u8|f32, got {image_store!r}")
+    # "auto"/"u8": keep the raw 8-bit bytes on device (4x less tunnel
+    # transfer + HBM; decode_imgs reproduces the f32 path bit-exactly);
+    # any non-8-bit source demotes the whole stack to f32.
+    use_u8 = image_store != "f32"
 
     masks, points, normals, smasks, gt_normals = [], [], [], [], []
     imgs, vis = [], []
@@ -62,10 +81,17 @@ def load_stage2_data(
 
         img_v = []
         for li in light_slt[v0]:
-            img = load_image(os.path.join(
-                scene.basedir, im_sub, f"view_{vi + 1:02d}", f"{li + 1:03d}.png"))
+            p = os.path.join(
+                scene.basedir, im_sub, f"view_{vi + 1:02d}", f"{li + 1:03d}.png")
+            img = load_image_u8(p) if use_u8 else None
+            if img is None:
+                if use_u8:  # non-8-bit source: demote everything to f32
+                    use_u8 = False
+                    imgs = [a.astype(np.float32) / 255.0 for a in imgs]
+                    img_v = [a.astype(np.float32) / 255.0 for a in img_v]
+                img = load_image(p)
             img_v.append(img.reshape(-1, 3) * (mask.reshape(-1, 1) > 0))
-        imgs.append(np.asarray(img_v, np.float32))
+        imgs.append(np.asarray(img_v, np.uint8 if use_u8 else np.float32))
         if vis_loss:
             vv = np.load(os.path.join(
                 stage1_shape_path, "visibility", f"view_{vi + 1:02d}.npy"))
@@ -79,10 +105,10 @@ def load_stage2_data(
     llen = [len(s) for s in light_slt]
     l_max = max(llen)
 
-    def pad_lights(arrs, fill=0.0):
+    def pad_lights(arrs, fill=0.0, dtype=np.float32):
         """list of [L_v, ...] -> [V, l_max, ...] (padded with `fill`)."""
         out_arr = np.full((v, l_max) + tuple(np.shape(arrs[0])[1:]), fill,
-                          np.float32)
+                          dtype)
         for i, a in enumerate(arrs):
             out_arr[i, : len(a)] = a
         return out_arr
@@ -98,7 +124,8 @@ def load_stage2_data(
         slt_pad[i, : len(s)] = s
 
     out = {
-        "imgs": jnp.asarray(pad_lights(imgs)),
+        "imgs": jnp.asarray(pad_lights(
+            imgs, dtype=np.uint8 if use_u8 else np.float32)),
         "object_masks": jnp.asarray(masks.reshape(v, -1) > 0),
         "gt_normal": jnp.asarray(np.asarray(gt_normals, np.float32).reshape(v, -1, 3)),
         "points": jnp.asarray(np.asarray(points, np.float32).reshape(v, -1, 3)),
@@ -180,7 +207,7 @@ def sample_stage2_batch(
         "points": data["points"][view][pix],
         "normal": data["normals"][view][pix],
         "surface_mask": data["surface_mask"][view][pix],
-        "rgb_gt": data["imgs"][view][lidx][:, pix],
+        "rgb_gt": decode_imgs(data["imgs"][view][lidx][:, pix]),
         # jnp.asarray: the row-offset table is a small host array, but `view`
         # may be a traced index (the megastep samples inside a scan)
         "l_slt": jnp.asarray(data["light_row_offset"])[view] + lidx,
@@ -253,7 +280,7 @@ def sample_stage2_patches(
         "points": data["points"][view][pix],
         "normal": data["normals"][view][pix],
         "surface_mask": data["surface_mask"][view][pix],
-        "rgb_gt": data["imgs"][view][lidx][:, pix],
+        "rgb_gt": decode_imgs(data["imgs"][view][lidx][:, pix]),
     })
     if "visibility" in data:
         batch["visibility"] = data["visibility"][view][lidx][:, pix]

@@ -20,7 +20,8 @@ import numpy as np
 from psnerf_tpu.config import Stage2Config
 from psnerf_tpu.core.spherical import gen_light_xyz
 from psnerf_tpu.data.scene import load_scene_params
-from psnerf_tpu.data.stage2 import load_stage2_data, sample_stage2_batch
+from psnerf_tpu.data.stage2 import (decode_imgs, load_stage2_data,
+                                    sample_stage2_batch)
 from psnerf_tpu.eval.frame import render_frame_stage2
 from psnerf_tpu.fields.psnet import init_psnet
 from psnerf_tpu.train.checkpoints import (
@@ -53,6 +54,7 @@ class Stage2Runner:
             self.scene, cfg.stage1_shape_path, "train", cfg.inten_normalize,
             cfg.train_view, cfg.train_light, cfg.all_view,
             vis_loss=cfg.vis_loss, vis_plus=cfg.vis_plus,
+            image_store=cfg.image_store,
         )
         self.n_views = len(self.data["views"])
         # ragged per-view light counts: the light axis is padded to the max;
@@ -303,7 +305,8 @@ class Stage2Runner:
                                  outputs=("rgb", "normal_pred"))
             h, w = data["img_res"]
             pred = r["rgb"][light]
-            gt = np.asarray(data["imgs"][view][light]).reshape(h, w, 3)
+            gt = np.asarray(decode_imgs(data["imgs"][view][light])).reshape(
+                h, w, 3)
             gt = gt + (1.0 - r["mask"][..., None])  # white bg like pred
             normal = r.get("normal_pred",
                            r["normal_values"][None])[..., :3].reshape(h, w, 3)
@@ -334,6 +337,7 @@ class Stage2Runner:
                 self.cfg.inten_normalize, self.cfg.train_view,
                 self.cfg.train_light, self.cfg.all_view,
                 vis_loss=False, vis_plus=False,
+                image_store=self.cfg.image_store,
             )
         return cache[split]
 

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from psnerf_tpu.data import (
+    decode_imgs,
     load_scene_params,
     load_stage1_data,
     load_stage2_data,
@@ -108,6 +109,29 @@ def test_stage2_load_and_sample(scene_dir):
     assert set(np.asarray(batch["l_slt"])).issubset(set(range(6)))
 
 
+def test_stage2_u8_image_store_bitexact(scene_dir):
+    """The default "auto" store keeps 8-bit PNG bytes on device; decoding
+    must be BIT-identical to the f32 load path (one IEEE /255 either way),
+    and sampled batches must match exactly."""
+    scene = load_scene_params(scene_dir)
+    d8 = load_stage2_data(scene, os.path.join(scene_dir, "exports"), "train",
+                          inten_normalize=None)
+    df = load_stage2_data(scene, os.path.join(scene_dir, "exports"), "train",
+                          inten_normalize=None, image_store="f32")
+    assert d8["imgs"].dtype == jnp.uint8
+    assert df["imgs"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(decode_imgs(d8["imgs"])),
+                                  np.asarray(df["imgs"]))
+    key = jax.random.PRNGKey(3)
+    b8 = sample_stage2_batch(d8, 1, key, num_pixels=64, light_bs=4,
+                             vis_train_num=5, light_init_dirs=d8["light_dirs"])
+    bf = sample_stage2_batch(df, 1, key, num_pixels=64, light_bs=4,
+                             vis_train_num=5, light_init_dirs=df["light_dirs"])
+    assert b8["rgb_gt"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(b8["rgb_gt"]),
+                                  np.asarray(bf["rgb_gt"]))
+
+
 def test_stage2_shading_consistency(scene_dir):
     """Render the synthetic scene with the ANALYTIC brdf through render_psnet
     inputs (GT geometry + lights): rgb from the data must be reproducible up
@@ -121,7 +145,7 @@ def test_stage2_shading_consistency(scene_dir):
     nrm = np.asarray(data["normals"][v])[px]
     ldir = np.asarray(data["light_dirs"][v])  # [L,3] world
     vis = np.asarray(data["visibility"][v])[:, px]
-    img = np.asarray(data["imgs"][v])[:, px]  # [L,200,3]
+    img = np.asarray(decode_imgs(data["imgs"][v]))[:, px]  # [L,200,3]
     albedo = 0.45 + 0.25 * np.stack(
         [np.sin(4 * pts[:, 0]), np.cos(4 * pts[:, 1]), np.sin(4 * pts[:, 2])], -1)
     cos = np.maximum(np.einsum("li,ni->ln", ldir, nrm), 0)
