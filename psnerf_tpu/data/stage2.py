@@ -86,6 +86,13 @@ def load_stage2_data(
             img = load_image_u8(p) if use_u8 else None
             if img is None:
                 if use_u8:  # non-8-bit source: demote everything to f32
+                    if image_store == "u8":
+                        # the caller forced u8 to bound HBM/transfer; a
+                        # silent 4x regression is worse than failing fast
+                        raise ValueError(
+                            f"image_store='u8' but {p!r} is not an 8-bit "
+                            "image; use image_store='auto' to allow the "
+                            "f32 fallback")
                     use_u8 = False
                     imgs = [a.astype(np.float32) / 255.0 for a in imgs]
                     img_v = [a.astype(np.float32) / 255.0 for a in img_v]

@@ -81,10 +81,15 @@ def evaluate_outputs(
     out = {k: float(np.mean(v)) for k, v in img_data.items()}
     if "lpips" in out:
         out["lpips"] *= 100
+        out["lpips_status"] = "computed"
     else:
-        # loud, not silent: the metric needs weights (tools/export_lpips_npz.py
-        # + LPIPS_WEIGHTS; reference metric stage2/utils/metrics.py:64-76)
-        out["lpips"] = "unavailable (set LPIPS_WEIGHTS; see tools/export_lpips_npz.py)"
+        # machine-safe encoding: null value + a status string, so downstream
+        # JSON comparison never trips over prose (reference metric:
+        # stage2/utils/metrics.py:64-76; weights via tools/export_lpips_npz.py
+        # + LPIPS_WEIGHTS)
+        out["lpips"] = None
+        out["lpips_status"] = ("unavailable: set LPIPS_WEIGHTS "
+                               "(see tools/export_lpips_npz.py)")
     if normal_data:
         out["normal_mae"] = float(np.mean(normal_data))
     return out

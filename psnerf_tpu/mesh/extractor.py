@@ -127,12 +127,41 @@ def build_value_grid(
     return value_grid, iso, box_size
 
 
+# warn when enclosed (interior-cavity) volume exceeds this fraction of the
+# inside volume under the raw protocol — at that scale the raw-mesh Chamfer
+# samples cavity walls and diverges from the exterior surface error (the
+# snowman case: raw 27.97 mm vs exterior-only 4.21 mm)
+POCKET_WARN_FRACTION = 0.005
+
+
 def march_value_grid(value_grid: np.ndarray, iso: float, box_size: float,
-                     exterior_only: bool = False):
-    """Surface a dense value grid -> (verts [V,3] f32 world, tris [T,3])."""
+                     exterior_only: bool = False,
+                     warn_on_pockets: bool = True):
+    """Surface a dense value grid -> (verts [V,3] f32 world, tris [T,3]).
+
+    Under the raw (reference-faithful) protocol, warns when enclosed interior
+    pockets large enough to corrupt a sampled-Chamfer comparison are present
+    (UNISURF's interior is unsupervised and can hollow out); pass
+    exterior_only=True to fill them, or warn_on_pockets=False to silence."""
     n = value_grid.shape[0]
     if exterior_only:
         value_grid = fill_enclosed_pockets(value_grid, iso)
+    elif warn_on_pockets:
+        import warnings
+
+        enclosed = find_enclosed_pockets(value_grid, iso)
+        n_enc = int(enclosed.sum())
+        n_inside = int((value_grid >= iso).sum())
+        if n_enc > POCKET_WARN_FRACTION * max(n_inside, 1):
+            warnings.warn(
+                f"raw mesh extraction found enclosed interior pockets "
+                f"({n_enc} voxels, {n_enc / max(n_inside, 1):.1%} of the "
+                "inside volume): the unsupervised UNISURF interior has "
+                "hollowed out, and a sampled Chamfer on this mesh will "
+                "include cavity walls (snowman: 27.97 mm raw vs 4.21 mm "
+                "exterior). Extract with exterior_only=True for the "
+                "exterior-surface protocol.",
+                stacklevel=2)
 
     padded = np.pad(value_grid, 1, "constant", constant_values=-1e6)
     verts, tris = marching_cubes(padded, iso)
@@ -143,17 +172,17 @@ def march_value_grid(value_grid: np.ndarray, iso: float, box_size: float,
     return verts.astype(np.float32), tris
 
 
-def fill_enclosed_pockets(value_grid: np.ndarray, iso: float) -> np.ndarray:
-    """Fill every below-iso region NOT face-connected to the box boundary to
-    'inside' (+30), leaving only the exterior surface for marching. The
-    connected-component labelling runs on host (one pass over the dense grid,
-    ~2s at 513^3) — the grid is already host-resident at this point."""
+def find_enclosed_pockets(value_grid: np.ndarray, iso: float) -> np.ndarray:
+    """Bool mask of below-iso voxels NOT face-connected to the box boundary
+    (interior cavities). The connected-component labelling runs on host (one
+    pass over the dense grid, ~2s at 513^3) — the grid is already
+    host-resident at this point."""
     from scipy import ndimage
 
     outside = value_grid < iso
     lbl, n_lbl = ndimage.label(outside)  # 6-connectivity (faces)
     if n_lbl == 0:
-        return value_grid
+        return np.zeros(value_grid.shape, bool)
     boundary = np.unique(np.concatenate([
         lbl[0].ravel(), lbl[-1].ravel(),
         lbl[:, 0].ravel(), lbl[:, -1].ravel(),
@@ -161,10 +190,16 @@ def fill_enclosed_pockets(value_grid: np.ndarray, iso: float) -> np.ndarray:
     reach = np.zeros(n_lbl + 1, bool)
     reach[boundary] = True
     reach[0] = False
-    enclosed = outside & ~reach[lbl]
+    return outside & ~reach[lbl]
+
+
+def fill_enclosed_pockets(value_grid: np.ndarray, iso: float) -> np.ndarray:
+    """Fill every below-iso region NOT face-connected to the box boundary to
+    'inside' (+30), leaving only the exterior surface for marching."""
+    enclosed = find_enclosed_pockets(value_grid, iso)
     if enclosed.any():
         value_grid = value_grid.copy()
-        value_grid[enclosed] = 30.0  # in-place fill, dtype preserved
+        value_grid[enclosed] = 30.0  # copy-then-fill, dtype preserved
     return value_grid
 
 

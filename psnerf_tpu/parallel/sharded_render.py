@@ -69,17 +69,28 @@ def make_sharded_frame_renderer_2d(
     outputs: tuple = ("rgb",),
     use_fused_vis: bool = False,
     fused_interpret: bool = False,
+    albedo_new=None,
+    basis_new: int | None = None,
 ):
     """Shard BOTH render axes over a 2-D (rays x lights) mesh: each device
     renders its pixel shard under its light shard. N % (ray_devices * tile)
-    == 0 and L % light_devices == 0. No collectives during rendering."""
+    == 0 and L % light_devices == 0. Per-light outputs need no collectives;
+    the light-integrated "rgb_sum" output (envmap relighting,
+    stage2/eval.py:218) psums partial per-shard sums over the light axis.
+    albedo_new/basis_new: material-edit hooks (pixel-independent constants,
+    applied per device)."""
 
     def per_device(params, uv, pose, K, pts, nrm, msk, ld, li):
-        return render_frame_stage2(
+        out = render_frame_stage2(
             params, cfg, uv, pose, K, pts, nrm, msk, ld, li,
             tile=tile, outputs=outputs, use_fused_vis=use_fused_vis,
             fused_interpret=fused_interpret,
+            albedo_new=albedo_new, basis_new=basis_new,
         )
+        if "rgb_sum" in out:
+            # each device summed only its light shard; reduce over ICI
+            out["rgb_sum"] = jax.lax.psum(out["rgb_sum"], LIGHT_AXIS)
+        return out
 
     pix0 = P(RAY_AXIS)
     rep = P()

@@ -130,6 +130,29 @@ def test_stage2_u8_image_store_bitexact(scene_dir):
     assert b8["rgb_gt"].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(b8["rgb_gt"]),
                                   np.asarray(bf["rgb_gt"]))
+    # exhaustive: every possible byte decodes exactly as f32(u)/f32(255.0)
+    # on whatever backend the suite runs on (pins the lowering as a true
+    # division, not reciprocal-multiply)
+    np.testing.assert_array_equal(
+        np.asarray(decode_imgs(jnp.arange(256, dtype=jnp.uint8))),
+        np.arange(256, dtype=np.float32) / np.float32(255.0))
+
+
+def test_stage2_forced_u8_raises_on_non8bit(scene_dir, monkeypatch):
+    """image_store="u8" is a promise about HBM/transfer; a non-8-bit source
+    must fail fast instead of silently demoting the stack to f32."""
+    from psnerf_tpu.data import stage2 as stage2_mod
+    # simulate a non-8-bit source (e.g. 16-bit capture): the u8 loader
+    # declines every image, forcing the fallback decision
+    monkeypatch.setattr(stage2_mod, "load_image_u8", lambda p: None)
+    scene = load_scene_params(scene_dir)
+    with pytest.raises(ValueError, match="not an 8-bit"):
+        load_stage2_data(scene, os.path.join(scene_dir, "exports"), "train",
+                         inten_normalize=None, image_store="u8")
+    # "auto" still works via the silent f32 fallback
+    d = load_stage2_data(scene, os.path.join(scene_dir, "exports"), "train",
+                         inten_normalize=None, image_store="auto")
+    assert d["imgs"].dtype == jnp.float32
 
 
 def test_stage2_shading_consistency(scene_dir):

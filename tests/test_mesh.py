@@ -151,3 +151,23 @@ def test_exterior_only_noop_on_solid_field():
                           exterior_only=True)
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_raw_protocol_warns_on_cavities():
+    """The raw (reference-faithful) extraction must WARN when enclosed
+    interior pockets would corrupt a sampled-Chamfer comparison, and stay
+    silent on a solid field (VERDICT r4 weak #5)."""
+    import warnings
+
+    def shell_logit(pts):
+        r = np.linalg.norm(pts, axis=-1)
+        return np.minimum(0.7 - r, r - 0.35)
+
+    with pytest.warns(UserWarning, match="enclosed interior pockets"):
+        extract_mesh(shell_logit, resolution0=32, upsampling_steps=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        extract_mesh(sphere_logit, resolution0=16, upsampling_steps=1)
+        # exterior_only fills the pockets: no warning either
+        extract_mesh(shell_logit, resolution0=32, upsampling_steps=1,
+                     exterior_only=True)

@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from psnerf_tpu.eval.metrics import mae, psnr, scale_img, ssim, white_bg
 from psnerf_tpu.eval.lpips_jax import alex_features, lpips_distance, _TAP_CHANNELS
@@ -141,6 +142,18 @@ def test_lpips_unavailable_is_loud(tmp_path, monkeypatch):
                                            np.zeros((4, 4, 3))) is None
 
 
+def test_lpips_status_machine_safe(tmp_path, monkeypatch, scene_and_outputs):
+    """evaluate_outputs encodes a missing LPIPS as null + a status string so
+    downstream JSON comparison never trips over prose."""
+    monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+    from psnerf_tpu.eval.evaluation import evaluate_outputs
+
+    scene_dir, test_out = scene_and_outputs
+    res = evaluate_outputs(scene_dir, test_out)
+    assert res["lpips"] is None
+    assert res["lpips_status"].startswith("unavailable")
+
+
 def _random_lpips_npz(path: str, seed: int = 3) -> None:
     """Random-but-valid lpips-alex weights through the REAL export tool."""
     import sys
@@ -165,19 +178,16 @@ def _random_lpips_npz(path: str, seed: int = 3) -> None:
     export_from_state_dict(sd, path)
 
 
-def test_lpips_end_to_end_through_evaluation(tmp_path, monkeypatch):
-    """Full plumbing smoke (VERDICT r3 #8): random-but-valid AlexNet+head
-    weights -> tools/export_lpips_npz.py -> LPIPS_WEIGHTS -> the REAL
-    evaluation.evaluate_outputs path produces a numeric lpips (meaningless
-    value, real execution). Drop real weights at LPIPS_WEIGHTS and the
-    published metric lights up with zero code changes."""
+@pytest.fixture(scope="module")
+def scene_and_outputs(tmp_path_factory):
+    """A tiny synthetic scene + fabricated stage-2 output tree: predictions =
+    GT images + norm_mask + world-rotated GT normals (the eval contract,
+    reference evaluation.py:28-97)."""
     import shutil
 
-    import imageio.v2 as imageio
-
     from psnerf_tpu.data.synthetic import generate_synthetic_scene
-    from psnerf_tpu.eval.evaluation import evaluate_outputs
 
+    tmp_path = tmp_path_factory.mktemp("evalscene")
     scene = str(tmp_path / "scene")
     generate_synthetic_scene(scene, n_views=2, n_test=1, n_lights=2,
                              hw=(48, 48), radius=0.6, focal=60.0)
@@ -203,7 +213,19 @@ def test_lpips_end_to_end_through_evaluation(tmp_path, monkeypatch):
         n_cam = np.load(os.path.join(scene, "normal", "npy", name + ".npy"))
         n_world = np.einsum("ij,hwj->hwi", poses[vi, :3, :3], n_cam)
         np.save(os.path.join(out, "normal", "npy", name + ".npy"), n_world)
+    return scene, out
 
+
+def test_lpips_end_to_end_through_evaluation(tmp_path, monkeypatch,
+                                             scene_and_outputs):
+    """Full plumbing smoke (VERDICT r3 #8): random-but-valid AlexNet+head
+    weights -> tools/export_lpips_npz.py -> LPIPS_WEIGHTS -> the REAL
+    evaluation.evaluate_outputs path produces a numeric lpips (meaningless
+    value, real execution). Drop real weights at LPIPS_WEIGHTS and the
+    published metric lights up with zero code changes."""
+    from psnerf_tpu.eval.evaluation import evaluate_outputs
+
+    scene, out = scene_and_outputs
     npz = str(tmp_path / "lpips_alex.npz")
     _random_lpips_npz(npz)
     monkeypatch.setenv("LPIPS_WEIGHTS", npz)

@@ -31,7 +31,7 @@ def main():
 
     shape = (args.views, args.lights, args.hw * args.hw, 3)
     rng = np.random.default_rng(0)
-    u8 = rng.integers(0, 255, size=shape, dtype=np.uint8)
+    u8 = rng.integers(0, 256, size=shape, dtype=np.uint8)
     f32 = u8.astype(np.float32) / 255.0
 
     def put(x):
