@@ -48,10 +48,16 @@ def _crop_and_pad(img, mask, pad=15, k=4):
             min(h, mi.max() + pad), min(w, mj.max() + pad))
     img = img[crop[0]:crop[2], crop[1]:crop[3]]
     mask = mask[crop[0]:crop[2], crop[1]:crop[3]]
-    ph = (-img.shape[0]) % k
-    pw = (-img.shape[1]) % k
-    img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
-    mask = np.pad(mask, ((0, ph), (0, pw)))
+    # Mirror pms_transforms.imgSizeToFactorOfK (pms_transforms.py:24-30)
+    # exactly, including its quirk: when EITHER dim is unaligned, BOTH are
+    # padded by k - dim % k — so an already-aligned dim gains a full extra
+    # k rows/cols. The padding feeds LCNet's 128x128 rescale, so matching
+    # it bit-for-bit is required for light-estimate parity.
+    if img.shape[0] % k or img.shape[1] % k:
+        ph = k - img.shape[0] % k
+        pw = k - img.shape[1] % k
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+        mask = np.pad(mask, ((0, ph), (0, pw)))
     return img, mask, crop
 
 

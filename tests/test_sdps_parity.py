@@ -1,0 +1,273 @@
+"""Numerical parity of the SDPS-Net preprocessing stage against the ACTUAL
+reference implementation (live torch modules, random-init weights converted
+through load_lcnet_torch / load_nenet_torch).
+
+Covers the three legs VERDICT r4 called untested:
+  * LCNet forward — logits, decoded dirs, decoded intensities
+    (/root/reference/preprocessing/models/LCNet.py:126-159)
+  * NENet forward — per-pixel normals incl. the ConvTranspose2d deconv path
+    (/root/reference/preprocessing/models/NENet.py:90-108)
+  * the full driver — mask-crop / pad-to-multiple-of-4 / LCNet-at-128 /
+    NENet-at-crop-res / re-embed, reference leg driven through the live
+    UPS_Custom_Dataset + test_utils.py:56-67 re-embed semantics
+    (/root/reference/preprocessing/datasets/UPS_Custom_Dataset.py:26-107)
+
+torch runs on CPU; all paths deterministic (eval, no dropout/BN).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+imageio = pytest.importorskip("imageio")
+
+import jax.numpy as jnp
+
+from psnerf_tpu.preprocess.runner import (
+    _crop_and_pad,
+    resize_bilinear_align,
+    run_sdps,
+)
+from psnerf_tpu.preprocess.sdps import (
+    init_lcnet,
+    init_nenet,
+    lcnet_forward,
+    load_lcnet_torch,
+    load_nenet_torch,
+    nenet_forward,
+)
+
+REF_PRE = "/root/reference/preprocessing"
+
+_CACHE: dict = {}
+
+
+def _ref_preproc() -> dict:
+    """Import the reference preprocessing modules, isolated from (a) the
+    stage1/stage2 reference packages that reuse the top-level names and
+    (b) site-packages' HF `datasets` (a regular package, which would beat the
+    reference's namespace-package `datasets` at any sys.path position).
+    Anchors each top-level name to the reference dir via an explicit
+    __path__, then restores sys.modules."""
+    import importlib
+
+    if _CACHE:
+        return _CACHE
+    # pms_transforms imports skimage.transform.resize at module load (not
+    # installed here; only used by rescale paths these tests never hit).
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        skt = types.ModuleType("skimage.transform")
+        skt.resize = None
+        sk.transform = skt
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = skt
+    names = ("models", "utils", "datasets")
+    saved = {}
+    for name in list(sys.modules):
+        if name in names or name.startswith(tuple(n + "." for n in names)):
+            saved[name] = sys.modules.pop(name)
+    try:
+        for name in names:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [os.path.join(REF_PRE, name)]
+            sys.modules[name] = pkg
+        lc = importlib.import_module("models.LCNet")
+        ne = importlib.import_module("models.NENet")
+        ups = importlib.import_module("datasets.UPS_Custom_Dataset")
+        pt = importlib.import_module("datasets.pms_transforms")
+    finally:
+        for name in list(sys.modules):
+            if name in names or name.startswith(tuple(n + "." for n in names)):
+                del sys.modules[name]
+        sys.modules.update(saved)
+    _CACHE.update(LCNet=lc.LCNet, NENet=ne.NENet,
+                  Dataset=ups.UPS_Custom_Dataset, pms_transforms=pt)
+    return _CACHE
+
+
+LC_OTHER = {"dirs_cls": 36, "ints_cls": 20, "s1_est_d": True,
+            "s1_est_i": True, "test_h": 128, "test_w": 128,
+            "in_light": False, "in_mask": True}
+NE_OTHER = {"in_light": False, "in_mask": True}
+
+
+def _np_state(net):
+    return {k: v.numpy() for k, v in net.state_dict().items()}
+
+
+def _disc_mask(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return (((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def lcnet_pair():
+    ref = _ref_preproc()
+    torch.manual_seed(3)
+    net = ref["LCNet"](fuse_type="max", batchNorm=False, c_in=4,
+                       other=dict(LC_OTHER)).eval()
+    return net, load_lcnet_torch(_np_state(net))
+
+
+@pytest.fixture(scope="module")
+def nenet_pair():
+    ref = _ref_preproc()
+    torch.manual_seed(4)
+    net = ref["NENet"](fuse_type="max", batchNorm=False, c_in=6,
+                       other=dict(NE_OTHER)).eval()
+    return net, load_nenet_torch(_np_state(net))
+
+
+def test_lcnet_forward_parity(lcnet_pair):
+    """LCNet.py:126-159 — max-fusion, classifier heads, codec decoders."""
+    net, params = lcnet_pair
+    rng = np.random.default_rng(11)
+    L, H = 4, 128
+    mask = _disc_mask(H, H, 66, 60, 45)
+    imgs = rng.uniform(size=(L, 3, H, H)).astype(np.float32)
+    imgs = imgs * mask[None, None]
+
+    x = [torch.from_numpy(imgs.reshape(1, 3 * L, H, H).copy()),
+         torch.from_numpy(mask[None, None].copy())]
+    # prepareInputs splits channel-wise: [1, 3L, H, W] -> L x [1, 3, H, W]
+    with torch.no_grad():
+        ref_out = net(x)
+
+    got = lcnet_forward(params, jnp.asarray(imgs), jnp.asarray(mask[None]))
+
+    np.testing.assert_allclose(np.asarray(got["dirs_x"]),
+                               ref_out["dirs_x"].numpy(), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["dirs_y"]),
+                               ref_out["dirs_y"].numpy(), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["ints"]),
+                               ref_out["ints"].numpy(), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["dirs"]),
+                               ref_out["dirs"].numpy(), atol=1e-5)
+    # reference intens: [1, 3L], scalar intensity repeated per channel
+    ref_int = ref_out["intens"].numpy().reshape(L, 3)[:, 0]
+    np.testing.assert_allclose(np.asarray(got["intens"]), ref_int, atol=1e-6)
+
+
+def test_nenet_forward_parity(nenet_pair):
+    """NENet.py:90-108 — intensity division, dir concat, deconv path.
+    Non-square H/W catches axis transposes."""
+    net, params = nenet_pair
+    rng = np.random.default_rng(12)
+    L, H, W = 3, 64, 32
+    imgs = rng.uniform(size=(L, 3, H, W)).astype(np.float32)
+    dirs = rng.normal(size=(L, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ints = rng.uniform(0.2, 2.0, size=(L, 3)).astype(np.float32)
+
+    x = [torch.from_numpy(imgs.reshape(1, 3 * L, H, W).copy()),
+         torch.zeros(1, 1, H, W),  # mask slot (in_mask=True -> idx 2 is pred)
+         {"dirs": torch.from_numpy(dirs.copy()),
+          "intens": torch.from_numpy(ints.reshape(1, 3 * L).copy())}]
+    with torch.no_grad():
+        ref_n = net(x)["n"].numpy()[0]  # [3, H, W]
+
+    got = np.asarray(nenet_forward(params, jnp.asarray(imgs),
+                                   jnp.asarray(dirs), jnp.asarray(ints)))
+    np.testing.assert_allclose(got, ref_n, atol=1e-5)
+
+
+def test_crop_pad_matches_reference_quirk():
+    """pms_transforms.imgSizeToFactorOfK pads BOTH dims by k - dim%k whenever
+    EITHER is unaligned (an aligned dim gains a full extra k). _crop_and_pad
+    must reproduce that."""
+    ref = _ref_preproc()
+    f = ref["pms_transforms"].imgSizeToFactorOfK
+    for h, w in [(8, 8), (8, 6), (7, 8), (5, 5), (9, 12)]:
+        img = np.ones((h, w, 3), np.float32)
+        want = f(img, 4).shape[:2]
+        # full-ones mask => crop is the whole frame, pad path isolated
+        got_img, got_mask, crop = _crop_and_pad(
+            np.ones((h, w, 3), np.float32), np.ones((h, w), np.float32),
+            pad=15, k=4)
+        assert crop == (0, 0, h, w)
+        assert got_img.shape[:2] == want, (h, w)
+        assert got_mask.shape == want, (h, w)
+
+
+def test_resize_matches_torch_align_corners():
+    """LCNet.prepareInputs rescales with torch bilinear align_corners=True
+    (LCNet.py:88); resize_bilinear_align must match it exactly."""
+    rng = np.random.default_rng(13)
+    img = rng.uniform(size=(37, 54, 3)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(img.transpose(2, 0, 1)[None].copy()),
+        size=(128, 128), mode="bilinear", align_corners=True,
+    ).numpy()[0].transpose(1, 2, 0)
+    got = resize_bilinear_align(img, 128, 128)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def _write_tiny_scene(root, rng, L=3, H0=72, W0=60):
+    os.makedirs(os.path.join(root, "img", "view_01"), exist_ok=True)
+    os.makedirs(os.path.join(root, "norm_mask"), exist_ok=True)
+    mask = _disc_mask(H0, W0, 38, 28, 17)
+    imageio.imwrite(os.path.join(root, "norm_mask", "view_01.png"),
+                    (mask * 255).astype(np.uint8))
+    for li in range(L):
+        img = (rng.uniform(size=(H0, W0, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(
+            os.path.join(root, "img", "view_01", f"{li + 1}.png"), img)
+    dirs = rng.normal(size=(L, 3))
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.5
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    para = {"n_view": 1, "light_is_same": True, "gt_normal_world": False,
+            "light_direction": dirs.tolist(),
+            "pose_c2w": [np.eye(4).tolist()]}
+    with open(os.path.join(root, "params.json"), "w") as f:
+        json.dump(para, f)
+    return mask
+
+
+def test_sdps_driver_parity(tmp_path, lcnet_pair, nenet_pair):
+    """Full-driver parity: run_sdps vs the reference UPS_Custom_Dataset
+    (crop/pad), LCNet @128, NENet @crop-res, test_utils.py:56-67 re-embed."""
+    lc_net, lc_params = lcnet_pair
+    ne_net, ne_params = nenet_pair
+    ref = _ref_preproc()
+    rng = np.random.default_rng(21)
+    scene = str(tmp_path / "scene")
+    _write_tiny_scene(scene, rng)
+
+    # ---- reference leg: live dataset + live models
+    args = types.SimpleNamespace(
+        bm_dir=scene, light_intnorm_gt=False, train_light=None,
+        log=types.SimpleNamespace(printWrite=lambda *a, **k: None))
+    ds = ref["Dataset"](args, "test")
+    item = ds[0]
+    x = [item["img"][None], item["mask"][None]]
+    with torch.no_grad():
+        pred_c = lc_net(x)
+        x.append(pred_c)
+        pred = ne_net(x)
+    norm = (pred["n"] * item["mask"][None].expand_as(pred["n"]))[0]
+    norm = norm.permute(1, 2, 0).numpy()
+    h0, w0 = item["imres"]
+    th, tw = item["crop"][0], item["crop"][1]
+    ref_norm0 = np.zeros((h0, w0, 3), np.float32)
+    ref_norm0[th:th + norm.shape[0], tw:tw + norm.shape[1]] = norm
+    ref_dirs = pred_c["dirs"].numpy()
+    ref_ints = pred_c["intens"][0, ::3].numpy()
+
+    # ---- psnerf_tpu leg
+    out = run_sdps(scene, lc_params, ne_params,
+                   out_dir=str(tmp_path / "out"))
+    got_norm0 = np.load(os.path.join(out, "outnpy", "view_01.npy"))
+    got_dirs = np.load(os.path.join(out, "light_direction_pred.npy"))
+    got_ints = np.load(os.path.join(out, "light_intensity_pred.npy"))
+
+    np.testing.assert_allclose(got_dirs[0], ref_dirs, atol=1e-5)
+    np.testing.assert_allclose(got_ints[0], ref_ints, atol=1e-6)
+    np.testing.assert_allclose(got_norm0, ref_norm0, atol=1e-4)
