@@ -12,6 +12,9 @@ test-fast:       ## everything except the end-to-end pipeline test
 test-ab:         ## opt-in A/B vs the reference's own C++ (builds from its tree)
 	PSNERF_REF_AB=1 python -m pytest tests/test_mesh_ab.py -q
 
+parity-e2e:      ## opt-in end-to-end parity vs the live torch reference
+	PSNERF_REF_E2E=1 python tools/parity_e2e.py
+
 bench:           ## headline benchmark on the attached TPU chip (one JSON line)
 	python bench.py
 

@@ -539,9 +539,12 @@ class Stage2Runner:
                                          name + ".npy"),
                             r["rough"].astype(np.float32))
                 if "visibility" in r:
+                    # eval.py:406 clips the visibility artifact to [0,1]
+                    # (the raw MLP output can dip below 0 off-shadow)
                     np.save(os.path.join(out_dir, "visibility", "npy",
                                          name + ".npy"),
-                            r["visibility"][..., 0].astype(np.float32))
+                            r["visibility"][..., 0].clip(0, 1)
+                            .astype(np.float32))
 
     def render_envmap(self, out_dir: str, envmap: np.ndarray,
                       split: str = "test", light_h: int = 16,
