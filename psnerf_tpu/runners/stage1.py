@@ -395,10 +395,15 @@ class Stage1Runner:
                       vis_plus: bool = False, vis_plus_num: int = 256,
                       semisphere: bool = True, tile: int = 4096,
                       n_steps: int = 512, seed: int = 0,
-                      vis_steps: int = 128, vis_rescale: bool = False):
+                      vis_steps: int = 128, vis_rescale: bool = False,
+                      vis_plus_steps: int | None = None,
+                      vis_plus_rescale: bool | None = None):
         """Export per-view surface points/normals/mask (+ visibility,
         vis_plus) for stage-2 (reference stage1/shape_extract.py:92-171).
         Arrays are saved [H,W,...] like the reference (row-major pixels).
+        Returns a per-leg wall-clock dict (march/vis_train/vis_plus/fps/host
+        seconds, summed over views) — the export dominates pipeline cost, so
+        callers publish this breakdown.
 
         vis_steps/vis_rescale: visibility-march sampling. The default is the
         reference's fixed 128-step [0.1, 3.5] grid (rendering.py:378-408);
@@ -406,7 +411,16 @@ class Stage1Runner:
         box exit] instead, so no field evaluation is spent on samples the
         ±1.1 clip box would zero anyway — at vis_steps=64 this halves the
         export's dominant FLOP cost at equal-or-finer sample spacing for
-        every realistic ray (PARITY.md documented delta)."""
+        every realistic ray (PARITY.md documented delta).
+
+        vis_plus_steps/vis_plus_rescale: separate protocol for the vis_plus
+        directions (default: same as vis_steps/vis_rescale). The vis_plus leg
+        is ~94% of a 256-dir export's march cost but only SUPERVISES the
+        stage-2 visibility MLP (binary-ish targets), while the train-light
+        `visibility` arrays are consumed directly as stage-2 GT — so a mixed
+        protocol (faithful train-light vis + rescaled vis_plus) keeps the
+        reference-faithful artifact where it is load-bearing and takes the
+        2.5x rescale win where it is not."""
         data = load_stage1_data(
             self.scene, "all", self.cfg.inten_normalize, self.cfg.train_view,
             self.cfg.train_light, False, self.cfg.render.white_background,
@@ -437,40 +451,63 @@ class Stage1Runner:
             ]
 
         # cache across calls; params are traced args so re-extraction after
-        # further training reuses the compiled program
+        # further training reuses the compiled programs. March and visibility
+        # cache independently: the vis_plus leg may run a different
+        # (steps, rescale) protocol than the train-light leg.
         cache = getattr(self, "_extract_fns", None)
         if cache is None:
             cache = self._extract_fns = {}
-        ckey = (tile, n_steps, vis_steps, vis_rescale)
-        if ckey not in cache:
+        occ_builder = None
+        if self.mesh is not None and self.use_fused_occ:
+            from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
+
+            # per-device kernel: NO inner mesh (shard_map wraps it)
+            occ_builder = lambda p_: make_fused_occ_fn(p_, cfg.field)
+
+        mkey = ("march", tile, n_steps)
+        if mkey not in cache:
             if self.mesh is not None:
-                # sharded export: march over the ray axis, visibility over a
-                # 2-D rays x lights device layout — the export is the most
-                # expensive pipeline step and both axes are embarrassingly
-                # parallel (reference rendering.py:297-408)
-                from psnerf_tpu.parallel.mesh import LIGHT_AXIS
+                # sharded export: march over the ray axis — the export is
+                # the most expensive pipeline step and the axis is
+                # embarrassingly parallel (reference rendering.py:297-408)
                 from psnerf_tpu.parallel.sharded_export import (
-                    export_vis_mesh,
                     make_sharded_march_fn,
-                    make_sharded_vis_fn,
                 )
 
                 n_dev = self.mesh.devices.size
                 assert tile % n_dev == 0, (
                     f"tile={tile} not divisible by the {n_dev}-device mesh")
-                occ_builder = None
-                if self.use_fused_occ:
-                    from psnerf_tpu.ops.fused_occ import make_fused_occ_fn
-
-                    # per-device kernel: NO inner mesh (shard_map wraps it)
-                    occ_builder = lambda p_: make_fused_occ_fn(p_, cfg.field)
-                march_fn = make_sharded_march_fn(
+                cache[mkey] = make_sharded_march_fn(
                     cfg.field, cfg.render, self.mesh, n_steps=n_steps,
                     occ_builder=occ_builder)
+            else:
+
+                @jax.jit
+                def march_fn(params, pix_tile, K, pose):
+                    return render_shape_extract(
+                        params, cfg.field, cfg.render, pix_tile, K, pose,
+                        light_dir=None, n_steps=n_steps,
+                        occ_fn=self._occ_fn(params),
+                    )
+
+                cache[mkey] = march_fn
+
+        def get_vis_fn(vsteps, vrescale):
+            vkey = ("vis", tile, vsteps, vrescale)
+            if vkey in cache:
+                return cache[vkey]
+            if self.mesh is not None:
+                # visibility over a 2-D rays x lights device layout
+                from psnerf_tpu.parallel.mesh import LIGHT_AXIS
+                from psnerf_tpu.parallel.sharded_export import (
+                    export_vis_mesh,
+                    make_sharded_vis_fn,
+                )
+
                 vis_mesh = export_vis_mesh(self.mesh)
                 _vis_sharded = make_sharded_vis_fn(
                     cfg.field, vis_mesh, occ_builder=occ_builder,
-                    vis_steps=vis_steps, vis_rescale=vis_rescale)
+                    vis_steps=vsteps, vis_rescale=vrescale)
                 n_light_dev = vis_mesh.shape[LIGHT_AXIS]
 
                 def vis_fn(params, surf_pts, light_dir):
@@ -484,14 +521,6 @@ class Stage1Runner:
             else:
 
                 @jax.jit
-                def march_fn(params, pix_tile, K, pose):
-                    return render_shape_extract(
-                        params, cfg.field, cfg.render, pix_tile, K, pose,
-                        light_dir=None, n_steps=n_steps,
-                        occ_fn=self._occ_fn(params),
-                    )
-
-                @jax.jit
                 def vis_fn(params, surf_pts, light_dir):
                     from psnerf_tpu.fields.occupancy import occ_alpha
                     from psnerf_tpu.render.marching import light_visibility
@@ -500,24 +529,40 @@ class Stage1Runner:
                     if occ_fn is None:
                         occ_fn = lambda p: occ_alpha(params, p, cfg.field)
                     return light_visibility(occ_fn, surf_pts, light_dir,
-                                            n_steps=vis_steps,
-                                            rescale=vis_rescale)
+                                            n_steps=vsteps,
+                                            rescale=vrescale)
 
-            cache[ckey] = (march_fn, vis_fn)
-        _march_fn, _vis_fn = cache[ckey]
+            cache[vkey] = vis_fn
+            return vis_fn
+
+        _march_fn = cache[mkey]
         march_fn = lambda params, pix_tile, pose: _march_fn(
             params, pix_tile, data["K"], pose)
+        if vis_plus_steps is None:
+            vis_plus_steps = vis_steps
+        if vis_plus_rescale is None:
+            vis_plus_rescale = vis_rescale
 
         rng = np.random.default_rng(seed)
         vis_plus_json = {}
+        # per-leg wall-clock breakdown (VERDICT r4: the export is the
+        # pipeline's dominant cost — make its structure visible). The train
+        # lights and the vis_plus dirs march as separate launches, so the
+        # split is measured, not attributed.
+        timings = {"fps_s": 0.0, "march_s": 0.0,
+                   "vis_train_s": 0.0, "vis_plus_s": 0.0, "host_s": 0.0}
         for v, vi in enumerate(data["views"]):
             pose = data["poses"][v]
-            ldir = None
+            segments = []  # (dirs, vis_fn, timing_key)
             n_ori = 0
             if visibility:
                 ldir = light_pred[v]
                 n_ori = ldir.shape[0]
+                segments.append((jnp.asarray(ldir),
+                                 get_vis_fn(vis_steps, vis_rescale),
+                                 "vis_train_s"))
                 if vis_plus:
+                    t0 = time.time()
                     cand = rng.normal(size=(10000, 3))
                     cand /= np.linalg.norm(cand, axis=-1, keepdims=True)
                     if semisphere:
@@ -528,20 +573,26 @@ class Stage1Runner:
                         start=int(rng.integers(len(cand))),
                     )
                     extra = np.asarray(cand)[np.asarray(idx)]
-                    ldir = np.concatenate([ldir, extra], 0)
                     vis_plus_json[f"view_{vi + 1:02d}"] = extra.astype(
                         np.float32).tolist()
-                ldir = jnp.asarray(ldir)
+                    timings["fps_s"] += time.time() - t0
+                    segments.append((jnp.asarray(extra),
+                                     get_vis_fn(vis_plus_steps,
+                                                vis_plus_rescale),
+                                     "vis_plus_s"))
 
             # pass 1 — march + normals over all pixels; queue all tiles, then
             # fetch (one blocking tail instead of a ~35 ms tunnel round trip
             # per tile)
+            t0 = time.time()
             pending = [
                 march_fn(self.params, jnp.asarray(pix_padded[s:s + tile]),
                          pose)
                 for s in range(0, n + pad, tile)
             ]
             chunks = [jax.device_get(o) for o in pending]
+            timings["march_s"] += time.time() - t0
+            t0 = time.time()
             cat = lambda k2, axis=0: np.concatenate(
                 [c[k2] for c in chunks], axis=axis)
             points = cat("points")[:n].reshape(h, w, 3)
@@ -554,6 +605,7 @@ class Stage1Runner:
                     normal.astype(np.float32))
             np.save(os.path.join(out_dir, "mask", name + ".npy"),
                     mask.astype(bool))
+            timings["host_s"] += time.time() - t0
             if visibility:
                 # pass 2 — visibility ONLY for surface pixels (the object mask
                 # typically covers ~25-40% of the frame; masked-out pixels are
@@ -567,26 +619,39 @@ class Stage1Runner:
                 idx_padded = np.concatenate(
                     [surf_idx, np.zeros((vpad,), np.int64)])
                 pts_flat = points.reshape(-1, 3)
-                pending = [
-                    _vis_fn(self.params,
+                seg_vis = []
+                for ldir, seg_vis_fn, tkey in segments:
+                    t0 = time.time()
+                    pending = [
+                        seg_vis_fn(
+                            self.params,
                             jnp.asarray(pts_flat[idx_padded[s:s + tile]]),
                             ldir)
-                    for s in range(0, n_surf + vpad, tile)
-                ]
-                vis_c = np.concatenate(
-                    [jax.device_get(o) for o in pending], axis=1)[:, :n_surf]
-                vis = np.ones((ldir.shape[0], n), np.float32)
-                vis[:, surf_idx] = vis_c
-                vis = vis.reshape(-1, h, w)
+                        for s in range(0, n_surf + vpad, tile)
+                    ]
+                    vis_c = np.concatenate(
+                        [jax.device_get(o) for o in pending],
+                        axis=1)[:, :n_surf]
+                    timings[tkey] += time.time() - t0
+                    t0 = time.time()
+                    vis = np.ones((ldir.shape[0], n), np.float32)
+                    vis[:, surf_idx] = vis_c
+                    seg_vis.append(vis.reshape(-1, h, w))
+                    timings["host_s"] += time.time() - t0
+                t0 = time.time()
                 np.save(os.path.join(out_dir, "visibility", name + ".npy"),
-                        vis[:n_ori].astype(np.float32))
+                        seg_vis[0].astype(np.float32))
                 if vis_plus:
                     np.save(os.path.join(out_dir, "vis_plus", name + ".npy"),
-                            vis[n_ori:].astype(np.float32))
+                            seg_vis[1].astype(np.float32))
+                timings["host_s"] += time.time() - t0
         if vis_plus:
             with open(os.path.join(out_dir, "vis_plus", "light_dir.json"),
                       "w") as f:
                 json.dump(vis_plus_json, f, indent=4)
+        timings = {k: round(v, 2) for k, v in timings.items()}
+        print(f"[shape_extract] leg breakdown (s): {timings}")
+        return timings
 
     # ------------------------------------------------------------ mesh export
     def extract_mesh_to(self, path: str, resolution0: int | None = None,

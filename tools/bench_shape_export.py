@@ -75,10 +75,11 @@ def main():
         if os.path.exists(out):
             shutil.rmtree(out)
         t0 = time.time()
-        r1.shape_extract(out, visibility=True, vis_plus=True,
-                         vis_plus_num=args.vis_plus_num, tile=args.tile,
-                         n_steps=args.n_steps, **kw)
+        legs = r1.shape_extract(out, visibility=True, vis_plus=True,
+                                vis_plus_num=args.vis_plus_num, tile=args.tile,
+                                n_steps=args.n_steps, **kw)
         summary[f"export_s_{tag}"] = round(time.time() - t0, 1)
+        summary[f"export_legs_{tag}"] = legs
         dirs[tag] = out
         print(f"[{tag}] {summary[f'export_s_{tag}']}s", flush=True)
 

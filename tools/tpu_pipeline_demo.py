@@ -140,10 +140,12 @@ def main():
 
     t0 = time.time()
     exports = os.path.join(wd, "exports")
-    r1.shape_extract(exports, visibility=True, vis_plus=True,
-                     vis_plus_num=args.vis_plus_num, tile=4096, n_steps=256,
-                     vis_steps=args.vis_steps, vis_rescale=args.vis_rescale)
+    legs = r1.shape_extract(
+        exports, visibility=True, vis_plus=True,
+        vis_plus_num=args.vis_plus_num, tile=4096, n_steps=256,
+        vis_steps=args.vis_steps, vis_rescale=args.vis_rescale)
     summary["shape_extract_s"] = round(time.time() - t0, 1)
+    summary["shape_extract_legs"] = legs
 
     t0 = time.time()
     from psnerf_tpu.data.synthetic import _normalize_spheres
