@@ -29,7 +29,7 @@ from psnerf_tpu.data.stage1 import load_stage1_data, sample_stage1_batch
 from psnerf_tpu.fields.occupancy import init_occupancy_field
 from psnerf_tpu.mesh.extractor import make_field_value_fn
 from psnerf_tpu.mesh.meshio import save_obj, save_ply
-from psnerf_tpu.ops.fps import farthest_point_sampling
+from psnerf_tpu.ops.fps import farthest_point_sampling_np
 from psnerf_tpu.render.unisurf import render_shape_extract, render_unisurf
 from psnerf_tpu.train.checkpoints import (
     latest_checkpoint,
@@ -568,8 +568,11 @@ class Stage1Runner:
                     if semisphere:
                         view_dir = np.asarray(pose)[:3, 2]
                         cand = cand[(cand * view_dir).sum(-1) < 0]
-                    idx = farthest_point_sampling(
-                        jnp.asarray(cand), vis_plus_num,
+                    # host FPS: 256-of-10k selection is ~8 MFLOP of
+                    # sequential greedy work — accelerator round trips cost
+                    # 50 s/view on the tunneled chip, numpy takes ~10 ms
+                    idx = farthest_point_sampling_np(
+                        cand, vis_plus_num,
                         start=int(rng.integers(len(cand))),
                     )
                     extra = np.asarray(cand)[np.asarray(idx)]

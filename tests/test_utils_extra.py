@@ -74,6 +74,21 @@ def test_fps_spreads_points():
     assert min_pair(sel) > min_pair(rand)
 
 
+def test_fps_np_matches_jax():
+    """The host FPS (production shape_extract path) selects the same indices
+    as the jitted device version for the export's exact workload shape."""
+    from psnerf_tpu.ops.fps import farthest_point_sampling_np
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(2000, 3))
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    for start in (0, 7, 1999):
+        idx_np = farthest_point_sampling_np(pts, 64, start=start)
+        idx_jax = np.asarray(
+            farthest_point_sampling(jnp.asarray(pts), 64, start=start))
+        np.testing.assert_array_equal(idx_np, idx_jax)
+
+
 def test_metric_logger_and_strip(tmp_path):
     path = str(tmp_path / "m.jsonl")
     log = MetricLogger(path)

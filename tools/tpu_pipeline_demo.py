@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--warmup-iters", type=int, default=300,
                     help="stage-2 train_fix warm-up iterations (vis+normal "
                          "only, albedo/rough/lights frozen)")
+    ap.add_argument("--stage1-only", action="store_true",
+                    help="stop after stage-1 train+eval (workdir is then "
+                         "ready for tools/bench_shape_export.py)")
     ap.add_argument("--scene", choices=("sphere", "snowman"),
                     default="sphere",
                     help="snowman: non-convex two-sphere scene with analytic "
@@ -137,6 +140,10 @@ def main():
     m = r1.eval_views(os.path.join(wd, "stage1_eval"), "test", tile=4096)
     summary["stage1_eval_psnr"] = round(float(np.mean([x["psnr"] for x in m])), 2)
     summary["stage1_eval_s"] = round(time.time() - t0, 1)
+
+    if args.stage1_only:
+        print(json.dumps(summary, indent=2))
+        return
 
     t0 = time.time()
     exports = os.path.join(wd, "exports")
