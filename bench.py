@@ -81,7 +81,21 @@ def bench_fused(cfg, params, args):
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]  # median: tunnel latency is heavy-tailed
-    return dt, out["rgb_cnl"]
+    # steady-state: K frames enqueued back-to-back, ONE final sync — this is
+    # how eval loops actually consume the renderer (queue all views/tiles,
+    # fetch at the end), and it amortizes the ~30 ms host<->device tunnel
+    # round trip the single-dispatch median pays per frame. Median of 5
+    # passes: single-pass stream times vary ~10% on the tunneled backend.
+    k = 8
+    stream_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs = [render(params, *args) for _ in range(k)]
+        _sync(outs[-1]["rgb_cnl"])
+        stream_times.append((time.perf_counter() - t0) / k)
+    stream_times.sort()
+    dt_stream = stream_times[len(stream_times) // 2]
+    return dt, dt_stream, out["rgb_cnl"]
 
 
 def measure_bf16_parity(cfg, params, args, rgb_fused):
@@ -361,7 +375,7 @@ def main():
 
     enable_compilation_cache()
     cfg, params, args = setup()
-    dt_fused, rgb = bench_fused(cfg, params, args)
+    dt_fused, dt_stream, rgb = bench_fused(cfg, params, args)
     rays = H * W * N_LIGHTS
     bf16_err = measure_bf16_parity(cfg, params, args, rgb)
     dt_dev = bench_reference_device(cfg, params, args, precision="float32")
@@ -377,6 +391,9 @@ def main():
         # conservative: reference algorithm fully on-device, zero host overhead
         "vs_baseline": round(dt_dev / dt_fused, 2),
         "frame_ms": round(dt_fused * 1e3, 1),
+        # 8 frames enqueued, one sync: per-frame cost with the tunnel round
+        # trip amortized (how eval loops actually run the renderer)
+        "frame_ms_stream": round(dt_stream * 1e3, 1),
         "reference_algorithm_on_device_ms": round(dt_dev * 1e3, 1),
         "reference_algorithm_on_device_bf16_ms": round(dt_dev_bf16 * 1e3, 1),
         "vs_baseline_bf16": round(dt_dev_bf16 / dt_fused, 2),

@@ -17,10 +17,12 @@ def farthest_point_sampling_np(points, n_samples: int,
 
     Same selection as `farthest_point_sampling` (argmin-distance greedy,
     deterministic given `start`). The shape-export use case picks 256 of
-    10,000 host-resident candidate directions — ~8 MFLOP — which is a
-    host-scale problem: round-tripping it through the accelerator cost
-    ~50 s/view on the tunneled backend (the sequential 255-step selection
-    loop amortizes nothing), vs ~10 ms here."""
+    10,000 host-resident candidate directions — ~8 MFLOP of sequential
+    greedy work with no batch parallelism for the MXU, i.e. a host-scale
+    problem: ~10 ms here with zero device dispatches, vs an H2D + a
+    255-step compiled loop + D2H on the accelerator (and on the tunneled
+    test backend, any first tiny-op dispatch can additionally absorb a
+    minutes-long cold-compile stall — see shape_extract's poses_np note)."""
     pts = np.asarray(points, np.float64)
     sel = np.empty((n_samples,), np.int64)
     sel[0] = start

@@ -551,8 +551,54 @@ class Stage1Runner:
         # split is measured, not attributed.
         timings = {"fps_s": 0.0, "march_s": 0.0,
                    "vis_train_s": 0.0, "vis_plus_s": 0.0, "host_s": 0.0}
+        # host scatter + npy writes run on ONE background worker so they
+        # overlap the next device march (the device legs are the long pole;
+        # ~6-9 s/view of scatter+disk hides under them). host_s then counts
+        # work done in-thread; host_tail_s is the wall time the host leg
+        # still adds after the last device leg finishes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writer = ThreadPoolExecutor(max_workers=1)
+        host_s = [0.0]
+        pending_writes = []
+
+        def submit_host(fn):
+            def run():
+                t0 = time.time()
+                fn()
+                host_s[0] += time.time() - t0
+
+            pending_writes.append(writer.submit(run))
+            while len(pending_writes) > 4:  # bound queued arrays (~256 MB ea)
+                pending_writes.pop(0).result()
+
+        # warm-up leg, timed as compile_s: (1) materialize poses on the host
+        # ONCE — a process's FIRST device->host readback of any kind can
+        # stall for minutes on this tunneled backend (measured 178-559 s
+        # cold; it used to land per-view inside whichever leg read first —
+        # the round-4/5 "fps_s" mystery: a pure-numpy leg measuring 117 s);
+        # (2) run every compiled program once on dummy tiles so program
+        # compiles land here instead of polluting the march/vis legs. The
+        # vis programs specialize on the light count, so warm with the REAL
+        # per-segment L values.
+        t0 = time.time()
+        poses_np = np.asarray(jax.device_get(data["poses"]))
+        jax.device_get(march_fn(self.params, jnp.asarray(pix_padded[:tile]),
+                                poses_np[0]))
+        if visibility:
+            protos = {(vis_steps, vis_rescale, int(light_pred[0].shape[0]))}
+            if vis_plus:
+                protos.add((vis_plus_steps, vis_plus_rescale, vis_plus_num))
+            dummy_pts = jnp.zeros((tile, 3), jnp.float32)
+            for st, rs, n_l in protos:
+                dirs = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32),
+                               (n_l, 1))
+                jax.device_get(get_vis_fn(st, rs)(
+                    self.params, dummy_pts, jnp.asarray(dirs)))
+        timings["compile_s"] = time.time() - t0
+
         for v, vi in enumerate(data["views"]):
-            pose = data["poses"][v]
+            pose = pose_np = poses_np[v]
             segments = []  # (dirs, vis_fn, timing_key)
             n_ori = 0
             if visibility:
@@ -566,11 +612,13 @@ class Stage1Runner:
                     cand = rng.normal(size=(10000, 3))
                     cand /= np.linalg.norm(cand, axis=-1, keepdims=True)
                     if semisphere:
-                        view_dir = np.asarray(pose)[:3, 2]
+                        view_dir = pose_np[:3, 2]
                         cand = cand[(cand * view_dir).sum(-1) < 0]
                     # host FPS: 256-of-10k selection is ~8 MFLOP of
-                    # sequential greedy work — accelerator round trips cost
-                    # 50 s/view on the tunneled chip, numpy takes ~10 ms
+                    # sequential greedy work — a host-scale problem with no
+                    # batch parallelism for the MXU; ~10 ms in numpy with
+                    # zero device dispatches (index-identical to ops.fps's
+                    # device version, pinned by test_fps_np_matches_jax)
                     idx = farthest_point_sampling_np(
                         cand, vis_plus_num,
                         start=int(rng.integers(len(cand))),
@@ -594,35 +642,37 @@ class Stage1Runner:
                 for s in range(0, n + pad, tile)
             ]
             chunks = [jax.device_get(o) for o in pending]
-            timings["march_s"] += time.time() - t0
-            t0 = time.time()
             cat = lambda k2, axis=0: np.concatenate(
                 [c[k2] for c in chunks], axis=axis)
-            points = cat("points")[:n].reshape(h, w, 3)
-            normal = cat("normal")[:n].reshape(h, w, 3)
-            mask = cat("mask")[:n].reshape(h, w)
+            points = cat("points")[:n].reshape(h, w, 3).astype(np.float32)
+            normal = cat("normal")[:n].reshape(h, w, 3).astype(np.float32)
+            mask = cat("mask")[:n].reshape(h, w).astype(bool)
             name = f"view_{vi + 1:02d}"
-            np.save(os.path.join(out_dir, "points", name + ".npy"),
-                    points.astype(np.float32))
-            np.save(os.path.join(out_dir, "normal", name + ".npy"),
-                    normal.astype(np.float32))
-            np.save(os.path.join(out_dir, "mask", name + ".npy"),
-                    mask.astype(bool))
-            timings["host_s"] += time.time() - t0
+            timings["march_s"] += time.time() - t0
+
+            def save_geo(points=points, normal=normal, mask=mask, name=name):
+                np.save(os.path.join(out_dir, "points", name + ".npy"),
+                        points)
+                np.save(os.path.join(out_dir, "normal", name + ".npy"),
+                        normal)
+                np.save(os.path.join(out_dir, "mask", name + ".npy"), mask)
+
+            submit_host(save_geo)
             if visibility:
                 # pass 2 — visibility ONLY for surface pixels (the object mask
                 # typically covers ~25-40% of the frame; masked-out pixels are
                 # defined as vis=1.0, reference rendering.py:363-376). The
                 # surviving points are compacted, marched toward every light,
                 # and scattered back.
-                flat_mask = mask.reshape(-1).astype(bool)
+                flat_mask = mask.reshape(-1)
                 surf_idx = np.nonzero(flat_mask)[0]
                 n_surf = len(surf_idx)
                 vpad = (-n_surf) % tile if n_surf else tile
                 idx_padded = np.concatenate(
                     [surf_idx, np.zeros((vpad,), np.int64)])
                 pts_flat = points.reshape(-1, 3)
-                seg_vis = []
+                sub_names = {"vis_train_s": "visibility",
+                             "vis_plus_s": "vis_plus"}
                 for ldir, seg_vis_fn, tkey in segments:
                     t0 = time.time()
                     pending = [
@@ -636,18 +686,23 @@ class Stage1Runner:
                         [jax.device_get(o) for o in pending],
                         axis=1)[:, :n_surf]
                     timings[tkey] += time.time() - t0
-                    t0 = time.time()
-                    vis = np.ones((ldir.shape[0], n), np.float32)
-                    vis[:, surf_idx] = vis_c
-                    seg_vis.append(vis.reshape(-1, h, w))
-                    timings["host_s"] += time.time() - t0
-                t0 = time.time()
-                np.save(os.path.join(out_dir, "visibility", name + ".npy"),
-                        seg_vis[0].astype(np.float32))
-                if vis_plus:
-                    np.save(os.path.join(out_dir, "vis_plus", name + ".npy"),
-                            seg_vis[1].astype(np.float32))
-                timings["host_s"] += time.time() - t0
+
+                    def scatter_save(vis_c=vis_c, n_l=int(ldir.shape[0]),
+                                     sub=sub_names[tkey], name=name,
+                                     surf_idx=surf_idx):
+                        vis = np.ones((n_l, n), np.float32)
+                        vis[:, surf_idx] = vis_c
+                        np.save(os.path.join(out_dir, sub, name + ".npy"),
+                                vis.reshape(-1, h, w))
+
+                    submit_host(scatter_save)
+        t0 = time.time()
+        for f in pending_writes:
+            f.result()  # surface worker exceptions
+        writer.shutdown(wait=True)
+        timings["host_s"] += host_s[0]
+        # wall time the host leg still adds after the device legs finish
+        timings["host_tail_s"] = time.time() - t0
         if vis_plus:
             with open(os.path.join(out_dir, "vis_plus", "light_dir.json"),
                       "w") as f:

@@ -123,7 +123,8 @@ def test_eval_paths_do_not_recompile_on_param_updates(scene_dir, tmp_path):
 
     ed = str(tmp_path / "exp")
     r.shape_extract(ed, visibility=True, vis_plus=False, tile=tile, n_steps=8)
-    march_fn, vis_fn = r._extract_fns[(tile, 8, 128, False)]
+    march_fn = r._extract_fns[("march", tile, 8)]
+    vis_fn = r._extract_fns[("vis", tile, 128, False)]
     nm, nv = march_fn._cache_size(), vis_fn._cache_size()
     r.train(3, log_every=1000, ckpt_every=1000)
     r.shape_extract(ed, visibility=True, vis_plus=False, tile=tile, n_steps=8)

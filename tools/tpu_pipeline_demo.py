@@ -102,6 +102,16 @@ def main():
     summary["scene"] = args.scene
     summary["scene_s"] = round(time.time() - t0, 1)
 
+    # a process's FIRST device->host readback on the tunneled backend can
+    # stall for minutes while the remote service spins up; pay it here,
+    # visibly, so it cannot pollute the stage timings below
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    jax.device_get(jnp.zeros((8,)) + 1.0)
+    summary["backend_warmup_s"] = round(time.time() - t0, 1)
+
     cfg1 = Stage1Config(
         field=OccFieldConfig(num_layers=8, hidden_dim=256, feat_size=256,
                              octaves_pe=6, octaves_pe_views=4,
