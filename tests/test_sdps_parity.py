@@ -62,12 +62,16 @@ def _ref_preproc() -> dict:
         return _CACHE
     # pms_transforms imports skimage.transform.resize at module load (not
     # installed here; only used by rescale paths these tests never hit).
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
+    # Other tests (test_reference_parity) may have registered a BARE
+    # `skimage` stub with no transform submodule — probe the actual import,
+    # not just the sys.modules key, and upgrade whatever stub is present.
+    try:
+        import skimage.transform  # noqa: F401
+    except ImportError:
+        sk = sys.modules.setdefault("skimage", types.ModuleType("skimage"))
         skt = types.ModuleType("skimage.transform")
         skt.resize = None
         sk.transform = skt
-        sys.modules["skimage"] = sk
         sys.modules["skimage.transform"] = skt
     names = ("models", "utils", "datasets")
     saved = {}
