@@ -50,11 +50,13 @@ def make_sharded_march_fn(field_cfg, rcfg, mesh, n_steps: int = 512,
 
 
 def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None,
-                        vis_steps: int = 128, vis_rescale: bool = False):
+                        vis_steps: int = 128, vis_rescale: bool = False,
+                        light_chunk: int = 1):
     """Returns fn(params, surf [N,3], light_dir [L,3]) -> visibility [L,N]
     sharded over a 2-D (rays x lights) mesh: N % ray_devices == 0 and
     L % light_devices == 0 (callers pad both). vis_steps/vis_rescale select
-    the per-ray box-exit-rescaled march (see render/marching.py)."""
+    the per-ray box-exit-rescaled march; light_chunk the per-iteration light
+    batching (see render/marching.py — applies per device shard here)."""
     from psnerf_tpu.fields.occupancy import occ_alpha
     from psnerf_tpu.render.marching import light_visibility
 
@@ -64,7 +66,8 @@ def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None,
         else:
             occ_fn = lambda p: occ_alpha(params, p, field_cfg)
         return light_visibility(occ_fn, pts, ldir, n_steps=vis_steps,
-                                rescale=vis_rescale)
+                                rescale=vis_rescale,
+                                light_chunk=light_chunk)
 
     fn = jax.shard_map(
         per_device, mesh=mesh2,

@@ -148,6 +148,7 @@ def light_visibility(
     n_steps: int = 128,
     box: float = 1.1,
     rescale: bool = False,
+    light_chunk: int = 1,
 ) -> jnp.ndarray:
     """Transmittance toward each light: 1 - integrated occupancy along the
     light ray (stage1/model/rendering.py:378-408).
@@ -157,8 +158,17 @@ def light_visibility(
     compiled program (replaces the reference's Python lbatch=96 loop,
     rendering.py:367-372): each light's N x S march is fully parallel, and
     mapping (rather than vmapping) the light axis keeps the working set at
-    one light's samples — vmap would materialize [L, N*S, ...] at once,
-    which OOMs at export scale (80 lights x 4096 px x 128 steps).
+    one light group's samples — a full vmap would materialize [L, N*S, ...]
+    at once, which OOMs at export scale (80 lights x 4096 px x 128 steps).
+
+    light_chunk: lights marched per lax.map iteration (padded to a multiple
+    with copies of dir 0, sliced back; per-light results unchanged). NOTE —
+    measured on v5e (tools/bench_vis_march.py): chunk=1 is FASTEST (95.6
+    TFLOP/s ≈ 48% of bf16 peak, vs 83.5 at chunk=8): the fused occ kernel's
+    grid already pipelines row tiles, so grouping lights only grows the
+    per-iteration HBM working set. The remaining gap to peak is MXU
+    pipeline fill across the trunk's serially-dependent layers (the same
+    bound as the stage-2 training step; README roofline notes).
 
     rescale=False (reference-faithful): S samples uniform on [lnear, lfar],
     samples outside the ±box clip zeroed AFTER evaluation — for surface
@@ -172,34 +182,40 @@ def light_visibility(
     documented delta; A/B'd in tests/test_render.py and on the analytic
     cast-shadow scene).
     """
+    n = surf.shape[0]
     if not rescale:
-        t = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
+        t_shared = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
 
-        def one_light(ldir):
-            p = surf[:, None, :] + ldir[None, None, :] * t[None, :, None]
-            alpha = occ_fn(p.reshape(-1, 3)).reshape(-1, n_steps)  # [N, S]
-            inside = jnp.all((p <= box) & (p >= -box), axis=-1)  # [N, S]
-            alpha = jnp.where(inside, alpha, 0.0)
-            acc = jnp.sum(alpha_composite(alpha), axis=-1)
-            return 1.0 - acc
+    frac = jnp.linspace(0.0, 1.0, n_steps, dtype=surf.dtype)  # [S]
 
-    else:
-        frac = jnp.linspace(0.0, 1.0, n_steps, dtype=surf.dtype)  # [S]
-
-        def one_light(ldir):
-            # exit distance of x = surf + t*ldir from the [-box, box]^3 cube:
-            # per axis the positive root of |x_a| = box, then the min
-            t_axis = jnp.where(ldir[None, :] > 0,
-                               _safe_div(box - surf, ldir[None, :]),
-                               _safe_div(-box - surf, ldir[None, :]))  # [N,3]
-            t_axis = jnp.where(jnp.abs(ldir)[None, :] < 1e-8, jnp.inf, t_axis)
+    def one_group(ldirs):  # [C, 3] -> [C, N]
+        c = ldirs.shape[0]
+        if not rescale:
+            t = jnp.broadcast_to(t_shared[None, None, :], (c, n, n_steps))
+        else:
+            # exit distance of x = surf + t*ldir from the [-box, box]^3
+            # cube: per axis the positive root of |x_a| = box, then the min
+            t_axis = jnp.where(ldirs[:, None, :] > 0,
+                               _safe_div(box - surf[None], ldirs[:, None, :]),
+                               _safe_div(-box - surf[None],
+                                         ldirs[:, None, :]))  # [C, N, 3]
+            t_axis = jnp.where(jnp.abs(ldirs)[:, None, :] < 1e-8, jnp.inf,
+                               t_axis)
             t_exit = jnp.clip(jnp.min(t_axis, axis=-1), lnear + 1e-3, lfar)
-            t = lnear + (t_exit - lnear)[:, None] * frac[None, :]  # [N, S]
-            p = surf[:, None, :] + ldir[None, None, :] * t[..., None]
-            alpha = occ_fn(p.reshape(-1, 3)).reshape(-1, n_steps)
-            inside = jnp.all((p <= box) & (p >= -box), axis=-1)
-            alpha = jnp.where(inside, alpha, 0.0)
-            acc = jnp.sum(alpha_composite(alpha), axis=-1)
-            return 1.0 - acc
+            t = lnear + (t_exit - lnear)[..., None] * frac  # [C, N, S]
+        p = surf[None, :, None, :] + ldirs[:, None, None, :] * t[..., None]
+        alpha = occ_fn(p.reshape(-1, 3)).reshape(c, n, n_steps)
+        inside = jnp.all((p <= box) & (p >= -box), axis=-1)  # [C, N, S]
+        alpha = jnp.where(inside, alpha, 0.0)
+        acc = jnp.sum(alpha_composite(alpha), axis=-1)
+        return 1.0 - acc
 
-    return jax.lax.stop_gradient(jax.lax.map(one_light, light_dir))
+    l = light_dir.shape[0]
+    chunk = max(1, min(light_chunk, l))
+    pad = (-l) % chunk
+    if pad:
+        light_dir = jnp.concatenate(
+            [light_dir, jnp.tile(light_dir[:1], (pad, 1))], axis=0)
+    groups = light_dir.reshape(-1, chunk, 3)
+    out = jax.lax.map(one_group, groups).reshape(-1, n)[:l]
+    return jax.lax.stop_gradient(out)

@@ -397,7 +397,8 @@ class Stage1Runner:
                       n_steps: int = 512, seed: int = 0,
                       vis_steps: int = 128, vis_rescale: bool = False,
                       vis_plus_steps: int | None = None,
-                      vis_plus_rescale: bool | None = None):
+                      vis_plus_rescale: bool | None = None,
+                      light_chunk: int | None = None):
         """Export per-view surface points/normals/mask (+ visibility,
         vis_plus) for stage-2 (reference stage1/shape_extract.py:92-171).
         Arrays are saved [H,W,...] like the reference (row-major pixels).
@@ -492,8 +493,16 @@ class Stage1Runner:
 
                 cache[mkey] = march_fn
 
+        # lights marched per lax.map iteration inside the vis programs.
+        # Measured on v5e (tools/bench_vis_march.py): chunk=1 is fastest
+        # (95.6 TFLOP/s vs 83.5 at chunk=8) — the occ kernel's grid already
+        # pipelines row tiles, so grouping lights only grows the per-
+        # iteration HBM working set. The knob stays for other topologies.
+        if light_chunk is None:
+            light_chunk = 1
+
         def get_vis_fn(vsteps, vrescale):
-            vkey = ("vis", tile, vsteps, vrescale)
+            vkey = ("vis", tile, vsteps, vrescale, light_chunk)
             if vkey in cache:
                 return cache[vkey]
             if self.mesh is not None:
@@ -507,7 +516,8 @@ class Stage1Runner:
                 vis_mesh = export_vis_mesh(self.mesh)
                 _vis_sharded = make_sharded_vis_fn(
                     cfg.field, vis_mesh, occ_builder=occ_builder,
-                    vis_steps=vsteps, vis_rescale=vrescale)
+                    vis_steps=vsteps, vis_rescale=vrescale,
+                    light_chunk=light_chunk)
                 n_light_dev = vis_mesh.shape[LIGHT_AXIS]
 
                 def vis_fn(params, surf_pts, light_dir):
@@ -530,7 +540,8 @@ class Stage1Runner:
                         occ_fn = lambda p: occ_alpha(params, p, cfg.field)
                     return light_visibility(occ_fn, surf_pts, light_dir,
                                             n_steps=vsteps,
-                                            rescale=vrescale)
+                                            rescale=vrescale,
+                                            light_chunk=light_chunk)
 
             cache[vkey] = vis_fn
             return vis_fn

@@ -115,6 +115,28 @@ def test_light_visibility_rescaled_matches_fixed():
     assert np.all(vis_res[~clear] <= vis_fix[~clear] + 0.03)
 
 
+def test_light_visibility_chunk_invariant():
+    """light_chunk batches independent lights per lax.map iteration (an MXU
+    pipeline-fill optimization) — per-light results must not change, for
+    both march protocols and for L not divisible by the chunk."""
+    rng = np.random.default_rng(5)
+    n = rng.normal(size=(48, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    surf = jnp.asarray(0.72 * n, jnp.float32)
+    ldir = rng.normal(size=(11, 3))  # 11 % 4 != 0: exercises the pad+slice
+    ldir /= np.linalg.norm(ldir, axis=-1, keepdims=True)
+    ldir = jnp.asarray(ldir, jnp.float32)
+    occ = lambda p: sphere_occ(p, sharp=120.0)
+    for rescale, steps in [(False, 32), (True, 24)]:
+        base = np.asarray(light_visibility(
+            occ, surf, ldir, n_steps=steps, rescale=rescale))
+        for chunk in (2, 4, 16):  # 16 > L: clamps to L
+            got = np.asarray(light_visibility(
+                occ, surf, ldir, n_steps=steps, rescale=rescale,
+                light_chunk=chunk))
+            np.testing.assert_allclose(got, base, atol=1e-6)
+
+
 FIELD_CFG = OccFieldConfig(num_layers=4, hidden_dim=64, feat_size=64)
 RCFG = UnisurfConfig(
     near=1.0, far=5.0, radius=2.0, num_points_in=16, num_points_out=8,
