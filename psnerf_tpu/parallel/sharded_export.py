@@ -51,27 +51,33 @@ def make_sharded_march_fn(field_cfg, rcfg, mesh, n_steps: int = 512,
 
 def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None,
                         vis_steps: int = 128, vis_rescale: bool = False,
-                        light_chunk: int = 1):
+                        light_chunk: int = 1, guided: bool = False,
+                        guide_coarse: int = 32):
     """Returns fn(params, surf [N,3], light_dir [L,3]) -> visibility [L,N]
     sharded over a 2-D (rays x lights) mesh: N % ray_devices == 0 and
     L % light_devices == 0 (callers pad both). vis_steps/vis_rescale select
     the per-ray box-exit-rescaled march; light_chunk the per-iteration light
-    batching (see render/marching.py — applies per device shard here)."""
+    batching (see render/marching.py — applies per device shard here).
+    guided=True adds a trailing replicated guide-grid arg (occupancy_guide_
+    grid) that shrinks each ray's march interval to its occupied span."""
     from psnerf_tpu.fields.occupancy import occ_alpha
     from psnerf_tpu.render.marching import light_visibility
 
-    def per_device(params, pts, ldir):
+    def per_device(params, pts, ldir, *guide):
         if occ_builder is not None:
             occ_fn = occ_builder(params)
         else:
             occ_fn = lambda p: occ_alpha(params, p, field_cfg)
         return light_visibility(occ_fn, pts, ldir, n_steps=vis_steps,
                                 rescale=vis_rescale,
-                                light_chunk=light_chunk)
+                                light_chunk=light_chunk,
+                                guide=guide[0] if guide else None,
+                                guide_coarse=guide_coarse)
 
+    in_specs = (P(), P(RAY_AXIS), P(LIGHT_AXIS)) + ((P(),) if guided else ())
     fn = jax.shard_map(
         per_device, mesh=mesh2,
-        in_specs=(P(), P(RAY_AXIS), P(LIGHT_AXIS)),
+        in_specs=in_specs,
         out_specs=P(LIGHT_AXIS, RAY_AXIS), check_vma=False,
     )
     return jax.jit(fn)

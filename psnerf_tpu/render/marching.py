@@ -139,6 +139,30 @@ def ray_marching(
     return jax.lax.stop_gradient(d_out)
 
 
+def occupancy_guide_grid(
+    occ_fn,
+    res: int = 64,
+    box: float = 1.1,
+    thresh: float = 0.01,
+    dilate: int = 1,
+) -> jnp.ndarray:
+    """Conservative 'might-be-occupied' voxel grid over [-box, box]^3 for
+    guided visibility marching: evaluate the field at every cell center
+    (res^3 points — one fused-kernel call, ~0.3 GFLOP at 64^3), threshold
+    LOW (anything the march could integrate meaningfully), then dilate by
+    `dilate` cells of 3^3 max-pool so rays grazing a surface still see the
+    cell. Returns a float {0,1} grid [res, res, res]."""
+    half = box / res
+    xs = jnp.linspace(-box + half, box - half, res)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    occ = (occ_fn(pts).reshape(res, res, res) > thresh).astype(jnp.float32)
+    for _ in range(dilate):
+        occ = jax.lax.reduce_window(
+            occ, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    return jax.lax.stop_gradient(occ)
+
+
 def light_visibility(
     occ_fn,
     surf: jnp.ndarray,
@@ -149,6 +173,8 @@ def light_visibility(
     box: float = 1.1,
     rescale: bool = False,
     light_chunk: int = 1,
+    guide: jnp.ndarray | None = None,
+    guide_coarse: int = 32,
 ) -> jnp.ndarray:
     """Transmittance toward each light: 1 - integrated occupancy along the
     light ray (stage1/model/rendering.py:378-408).
@@ -181,27 +207,67 @@ def light_visibility(
     grid for every ray whose box exit is within 1.79 units (PARITY.md
     documented delta; A/B'd in tests/test_render.py and on the analytic
     cast-shadow scene).
+
+    guide (implies the rescaled parameterization): a {0,1} voxel grid from
+    occupancy_guide_grid over [-box, box]^3. Before the MLP march, each ray
+    probes the grid at `guide_coarse` positions on [lnear, box exit]
+    (gathers — ~1e-5 of an MLP sample's FLOPs) and shrinks its march
+    interval to [lnear, last occupied probe + one coarse step]: the field
+    beyond the last occupied voxel cannot contribute occupancy, so the S MLP
+    samples concentrate where the object actually is. Typical occupied
+    spans are 30-50% of the box span, so S can drop ~2x below `rescale`'s
+    budget at equal-or-finer spacing inside the span. Rays with NO occupied
+    probe collapse to [lnear, lnear+coarse-step]; their samples then sit in
+    sub-threshold field (the grid is dilated and thresholded at 0.01), so
+    the compositing sum stays near zero as it should.
     """
     n = surf.shape[0]
-    if not rescale:
+    if not rescale and guide is None:
         t_shared = jnp.linspace(lnear, lfar, n_steps, dtype=surf.dtype)  # [S]
+    if guide is not None:
+        res = guide.shape[0]
+        guide_flat = guide.reshape(-1)
+        frac_c = jnp.linspace(0.0, 1.0, guide_coarse, dtype=surf.dtype)
 
     frac = jnp.linspace(0.0, 1.0, n_steps, dtype=surf.dtype)  # [S]
 
+    def _box_exit(ldirs):
+        # exit distance of x = surf + t*ldir from the [-box, box]^3
+        # cube: per axis the positive root of |x_a| = box, then the min
+        t_axis = jnp.where(ldirs[:, None, :] > 0,
+                           _safe_div(box - surf[None], ldirs[:, None, :]),
+                           _safe_div(-box - surf[None],
+                                     ldirs[:, None, :]))  # [C, N, 3]
+        t_axis = jnp.where(jnp.abs(ldirs)[:, None, :] < 1e-8, jnp.inf,
+                           t_axis)
+        return jnp.clip(jnp.min(t_axis, axis=-1), lnear + 1e-3, lfar)
+
     def one_group(ldirs):  # [C, 3] -> [C, N]
         c = ldirs.shape[0]
-        if not rescale:
+        if guide is not None:
+            t_exit = _box_exit(ldirs)
+            # coarse grid probe: where along the ray might occupancy live?
+            tc = lnear + (t_exit - lnear)[..., None] * frac_c  # [C, N, Sc]
+            pc = surf[None, :, None, :] + ldirs[:, None, None, :] \
+                * tc[..., None]
+            ijk = jnp.clip(
+                jnp.floor((pc + box) * (res / (2.0 * box))).astype(jnp.int32),
+                0, res - 1)
+            flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+            occ_c = jnp.take(guide_flat, flat)  # [C, N, Sc] in {0, 1}
+            sidx = jnp.arange(1, guide_coarse + 1, dtype=jnp.int32)
+            last = jnp.max(occ_c.astype(jnp.int32) * sidx, axis=-1)  # [C,N]
+            step_c = (t_exit - lnear) / (guide_coarse - 1)
+            t_last = jnp.take_along_axis(
+                tc, jnp.maximum(last - 1, 0)[..., None], axis=-1)[..., 0]
+            t_hi = jnp.where(last > 0,
+                             jnp.minimum(t_last + step_c, t_exit),
+                             lnear + step_c)
+            t = lnear + (t_hi - lnear)[..., None] * frac  # [C, N, S]
+        elif not rescale:
             t = jnp.broadcast_to(t_shared[None, None, :], (c, n, n_steps))
         else:
-            # exit distance of x = surf + t*ldir from the [-box, box]^3
-            # cube: per axis the positive root of |x_a| = box, then the min
-            t_axis = jnp.where(ldirs[:, None, :] > 0,
-                               _safe_div(box - surf[None], ldirs[:, None, :]),
-                               _safe_div(-box - surf[None],
-                                         ldirs[:, None, :]))  # [C, N, 3]
-            t_axis = jnp.where(jnp.abs(ldirs)[:, None, :] < 1e-8, jnp.inf,
-                               t_axis)
-            t_exit = jnp.clip(jnp.min(t_axis, axis=-1), lnear + 1e-3, lfar)
+            t_exit = _box_exit(ldirs)
             t = lnear + (t_exit - lnear)[..., None] * frac  # [C, N, S]
         p = surf[None, :, None, :] + ldirs[:, None, None, :] * t[..., None]
         alpha = occ_fn(p.reshape(-1, 3)).reshape(c, n, n_steps)

@@ -398,7 +398,9 @@ class Stage1Runner:
                       vis_steps: int = 128, vis_rescale: bool = False,
                       vis_plus_steps: int | None = None,
                       vis_plus_rescale: bool | None = None,
-                      light_chunk: int | None = None):
+                      light_chunk: int | None = None,
+                      vis_plus_guided: bool = False,
+                      guide_res: int = 64, guide_coarse: int = 32):
         """Export per-view surface points/normals/mask (+ visibility,
         vis_plus) for stage-2 (reference stage1/shape_extract.py:92-171).
         Arrays are saved [H,W,...] like the reference (row-major pixels).
@@ -421,7 +423,14 @@ class Stage1Runner:
         `visibility` arrays are consumed directly as stage-2 GT — so a mixed
         protocol (faithful train-light vis + rescaled vis_plus) keeps the
         reference-faithful artifact where it is load-bearing and takes the
-        2.5x rescale win where it is not."""
+        2.5x rescale win where it is not.
+
+        vis_plus_guided: march the vis_plus dirs with the occupancy-grid-
+        guided interval (render/marching.py `guide`): a guide_res^3 field
+        probe (one fused call, built once per export) shrinks each shadow
+        ray's march interval to its last-occupied voxel, so vis_plus_steps
+        can drop ~2x below the rescaled budget at equal-or-finer spacing
+        where the object actually is (A/B: tools/bench_shape_export.py)."""
         data = load_stage1_data(
             self.scene, "all", self.cfg.inten_normalize, self.cfg.train_view,
             self.cfg.train_light, False, self.cfg.render.white_background,
@@ -501,8 +510,10 @@ class Stage1Runner:
         if light_chunk is None:
             light_chunk = 1
 
-        def get_vis_fn(vsteps, vrescale):
-            vkey = ("vis", tile, vsteps, vrescale, light_chunk)
+        def get_vis_fn(vsteps, vrescale, guided=False):
+            """guided=True: fn takes a trailing guide-grid arg (built once
+            per export below) and marches the grid-shrunk interval."""
+            vkey = ("vis", tile, vsteps, vrescale, light_chunk, guided)
             if vkey in cache:
                 return cache[vkey]
             if self.mesh is not None:
@@ -517,21 +528,23 @@ class Stage1Runner:
                 _vis_sharded = make_sharded_vis_fn(
                     cfg.field, vis_mesh, occ_builder=occ_builder,
                     vis_steps=vsteps, vis_rescale=vrescale,
-                    light_chunk=light_chunk)
+                    light_chunk=light_chunk,
+                    guided=guided, guide_coarse=guide_coarse)
                 n_light_dev = vis_mesh.shape[LIGHT_AXIS]
 
-                def vis_fn(params, surf_pts, light_dir):
+                def vis_fn(params, surf_pts, light_dir, *guide):
                     L = light_dir.shape[0]
                     padl = (-L) % n_light_dev
                     if padl:
                         light_dir = jnp.concatenate(
                             [light_dir,
                              jnp.tile(light_dir[:1], (padl, 1))], 0)
-                    return _vis_sharded(params, surf_pts, light_dir)[:L]
+                    return _vis_sharded(params, surf_pts, light_dir,
+                                        *guide)[:L]
             else:
 
                 @jax.jit
-                def vis_fn(params, surf_pts, light_dir):
+                def vis_fn(params, surf_pts, light_dir, *guide):
                     from psnerf_tpu.fields.occupancy import occ_alpha
                     from psnerf_tpu.render.marching import light_visibility
 
@@ -541,7 +554,9 @@ class Stage1Runner:
                     return light_visibility(occ_fn, surf_pts, light_dir,
                                             n_steps=vsteps,
                                             rescale=vrescale,
-                                            light_chunk=light_chunk)
+                                            light_chunk=light_chunk,
+                                            guide=guide[0] if guide else None,
+                                            guide_coarse=guide_coarse)
 
             cache[vkey] = vis_fn
             return vis_fn
@@ -596,16 +611,31 @@ class Stage1Runner:
         poses_np = np.asarray(jax.device_get(data["poses"]))
         jax.device_get(march_fn(self.params, jnp.asarray(pix_padded[:tile]),
                                 poses_np[0]))
+        guide_arr = None
+        if visibility and vis_plus and vis_plus_guided:
+            from psnerf_tpu.fields.occupancy import occ_alpha
+            from psnerf_tpu.render.marching import occupancy_guide_grid
+
+            @jax.jit
+            def _build_guide(p_):
+                occ = (occ_builder(p_) if occ_builder is not None
+                       else (lambda q: occ_alpha(p_, q, cfg.field)))
+                return occupancy_guide_grid(occ, res=guide_res)
+
+            guide_arr = _build_guide(self.params)
         if visibility:
-            protos = {(vis_steps, vis_rescale, int(light_pred[0].shape[0]))}
+            protos = {(vis_steps, vis_rescale, int(light_pred[0].shape[0]),
+                       False)}
             if vis_plus:
-                protos.add((vis_plus_steps, vis_plus_rescale, vis_plus_num))
+                protos.add((vis_plus_steps, vis_plus_rescale, vis_plus_num,
+                            vis_plus_guided))
             dummy_pts = jnp.zeros((tile, 3), jnp.float32)
-            for st, rs, n_l in protos:
+            for st, rs, n_l, gd in protos:
                 dirs = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32),
                                (n_l, 1))
-                jax.device_get(get_vis_fn(st, rs)(
-                    self.params, dummy_pts, jnp.asarray(dirs)))
+                extra = (guide_arr,) if gd else ()
+                jax.device_get(get_vis_fn(st, rs, gd)(
+                    self.params, dummy_pts, jnp.asarray(dirs), *extra))
         timings["compile_s"] = time.time() - t0
 
         for v, vi in enumerate(data["views"]):
@@ -617,7 +647,7 @@ class Stage1Runner:
                 n_ori = ldir.shape[0]
                 segments.append((jnp.asarray(ldir),
                                  get_vis_fn(vis_steps, vis_rescale),
-                                 "vis_train_s"))
+                                 "vis_train_s", ()))
                 if vis_plus:
                     t0 = time.time()
                     cand = rng.normal(size=(10000, 3))
@@ -640,8 +670,10 @@ class Stage1Runner:
                     timings["fps_s"] += time.time() - t0
                     segments.append((jnp.asarray(extra),
                                      get_vis_fn(vis_plus_steps,
-                                                vis_plus_rescale),
-                                     "vis_plus_s"))
+                                                vis_plus_rescale,
+                                                vis_plus_guided),
+                                     "vis_plus_s",
+                                     (guide_arr,) if vis_plus_guided else ()))
 
             # pass 1 — march + normals over all pixels; queue all tiles, then
             # fetch (one blocking tail instead of a ~35 ms tunnel round trip
@@ -684,13 +716,13 @@ class Stage1Runner:
                 pts_flat = points.reshape(-1, 3)
                 sub_names = {"vis_train_s": "visibility",
                              "vis_plus_s": "vis_plus"}
-                for ldir, seg_vis_fn, tkey in segments:
+                for ldir, seg_vis_fn, tkey, seg_extra in segments:
                     t0 = time.time()
                     pending = [
                         seg_vis_fn(
                             self.params,
                             jnp.asarray(pts_flat[idx_padded[s:s + tile]]),
-                            ldir)
+                            ldir, *seg_extra)
                         for s in range(0, n_surf + vpad, tile)
                     ]
                     vis_c = np.concatenate(

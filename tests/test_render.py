@@ -115,6 +115,65 @@ def test_light_visibility_rescaled_matches_fixed():
     assert np.all(vis_res[~clear] <= vis_fix[~clear] + 0.03)
 
 
+def test_occupancy_guide_grid():
+    from psnerf_tpu.render.marching import occupancy_guide_grid
+
+    g = occupancy_guide_grid(lambda p: sphere_occ(p, sharp=120.0),
+                             res=32, box=1.1, thresh=0.01, dilate=1)
+    g = np.asarray(g)
+    assert g.shape == (32, 32, 32) and set(np.unique(g)) <= {0.0, 1.0}
+    # cell centers inside the sphere are occupied; far corners are not
+    half = 1.1 / 32
+    xs = np.linspace(-1.1 + half, 1.1 - half, 32)
+    r = np.sqrt(xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+                + xs[None, None, :] ** 2)
+    cell_diag = 2 * 1.1 / 32 * np.sqrt(3)
+    assert g[r < 0.7 - cell_diag].all()          # interior occupied
+    assert not g[r > 0.7 + 2.5 * cell_diag].any()  # beyond dilation: empty
+
+
+def test_light_visibility_guided_matches_fixed():
+    """The grid-guided march (S samples over [lnear, last-occupied voxel])
+    must reproduce the reference-faithful fixed march's occlusion decisions
+    with HALF the sample budget — the point of the guide is that the skipped
+    tail is provably empty field."""
+    from psnerf_tpu.render.marching import occupancy_guide_grid
+
+    rng = np.random.default_rng(7)
+    n = rng.normal(size=(96, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    surf = jnp.asarray(0.72 * n, jnp.float32)
+    ldir = rng.normal(size=(16, 3))
+    ldir /= np.linalg.norm(ldir, axis=-1, keepdims=True)
+    ldir = jnp.asarray(ldir, jnp.float32)
+
+    # sharp=300 shell: a TRAINED occupancy field is decisive like this (the
+    # sharp=120 shell used above is deliberately soft to exercise secant
+    # behavior; on soft fields the protocol's values are genuinely sampling-
+    # density-dependent — the on-chip trained-field A/B lives in
+    # tools/bench_shape_export.py --guided)
+    occ = lambda p: sphere_occ(p, sharp=300.0)
+    guide = occupancy_guide_grid(occ, res=64, box=1.1)
+    vis_fix = np.asarray(light_visibility(
+        occ, surf, ldir, lnear=0.05, lfar=3.5, n_steps=128))
+    vis_gd = np.asarray(light_visibility(
+        occ, surf, ldir, lnear=0.05, lfar=3.5, n_steps=32,
+        guide=guide))
+    decisive = (np.abs(vis_fix - 0.5) > 0.25) & (np.abs(vis_gd - 0.5) > 0.25)
+    assert decisive.mean() > 0.9
+    np.testing.assert_array_equal(vis_fix[decisive] > 0.5,
+                                  vis_gd[decisive] > 0.5)
+    # clear rays stay clearly lit: the guided samples bunch inside the
+    # shell (every surface point's own cell is occupied), so they integrate
+    # slightly MORE alpha than the coarse fixed grid — bounded and
+    # one-directional (toward decisive), like the rescale effect above
+    clear = vis_fix > 0.98
+    assert clear.any() and (~clear).any()
+    assert np.all(vis_gd[clear] > 0.9)
+    assert np.all(vis_gd[clear] <= vis_fix[clear] + 0.01)
+    assert np.all(vis_gd[~clear] <= vis_fix[~clear] + 0.05)
+
+
 def test_light_visibility_chunk_invariant():
     """light_chunk batches independent lights per lax.map iteration (an MXU
     pipeline-fill optimization) — per-light results must not change, for

@@ -73,6 +73,13 @@ def main():
         # takes the rescale win on the leg that dominates a 256-dir export
         "mixed": dict(vis_steps=128, vis_rescale=False,
                       vis_plus_steps=64, vis_plus_rescale=True),
+        # mixed + occupancy-grid-GUIDED vis_plus at half the step budget:
+        # each shadow ray's march interval shrinks to its last-occupied
+        # voxel (marching.py occupancy_guide_grid), so 32 steps sample the
+        # object span at least as finely as rescaled-64 samples the box span
+        "guided": dict(vis_steps=128, vis_rescale=False,
+                       vis_plus_steps=32, vis_plus_rescale=True,
+                       vis_plus_guided=True),
     }
     summary = {"workdir": args.workdir, "vis_plus_num": args.vis_plus_num}
     dirs = {}
@@ -118,28 +125,31 @@ def main():
         summary["export_device_s_fixed128"]
         / summary["export_device_s_rescaled64"], 2)
 
-    # mixed mode: train-light visibility must be BIT-identical to faithful
-    # (same protocol, same compiled program); vis_plus agreement vs faithful
-    mix_identical = True
-    vp_agree = []
-    for fa in sorted(glob.glob(os.path.join(dirs["fixed128"],
-                                            "visibility", "*.npy"))):
-        name = os.path.basename(fa)
-        va = np.load(fa)
-        vm = np.load(os.path.join(dirs["mixed"], "visibility", name))
-        mix_identical &= bool(np.array_equal(va, vm))
-        mask = np.load(os.path.join(dirs["fixed128"], "mask",
-                                    name)).astype(bool)
-        pa = np.load(os.path.join(dirs["fixed128"], "vis_plus", name))
-        pm = np.load(os.path.join(dirs["mixed"], "vis_plus", name))
-        vp_agree.append(
-            ((pa[:, mask] > 0.5) == (pm[:, mask] > 0.5)).mean())
-    summary["mixed_vis_bit_identical"] = mix_identical
-    summary["mixed_vis_plus_binary_agreement"] = round(
-        float(np.mean(vp_agree)), 5)
-    summary["mixed_speedup"] = round(
-        summary["export_device_s_fixed128"]
-        / summary["export_device_s_mixed"], 2)
+    # mixed/guided modes: train-light visibility must be BIT-identical to
+    # faithful (same protocol, same compiled program); vis_plus agreement
+    # vs faithful. NOTE the vis_plus dirs are re-FPS'd per export from the
+    # same seed, so the per-view dir sets match across modes.
+    for tag in ("mixed", "guided"):
+        identical = True
+        vp_agree = []
+        for fa in sorted(glob.glob(os.path.join(dirs["fixed128"],
+                                                "visibility", "*.npy"))):
+            name = os.path.basename(fa)
+            va = np.load(fa)
+            vm = np.load(os.path.join(dirs[tag], "visibility", name))
+            identical &= bool(np.array_equal(va, vm))
+            mask = np.load(os.path.join(dirs["fixed128"], "mask",
+                                        name)).astype(bool)
+            pa = np.load(os.path.join(dirs["fixed128"], "vis_plus", name))
+            pm = np.load(os.path.join(dirs[tag], "vis_plus", name))
+            vp_agree.append(
+                ((pa[:, mask] > 0.5) == (pm[:, mask] > 0.5)).mean())
+        summary[f"{tag}_vis_bit_identical"] = identical
+        summary[f"{tag}_vis_plus_binary_agreement"] = round(
+            float(np.mean(vp_agree)), 5)
+        summary[f"{tag}_speedup"] = round(
+            summary["export_device_s_fixed128"]
+            / summary[f"export_device_s_{tag}"], 2)
 
     if not args.keep:
         for d in dirs.values():
