@@ -52,7 +52,7 @@ def make_sharded_march_fn(field_cfg, rcfg, mesh, n_steps: int = 512,
 def make_sharded_vis_fn(field_cfg, mesh2, occ_builder=None,
                         vis_steps: int = 128, vis_rescale: bool = False,
                         light_chunk: int = 1, guided: bool = False,
-                        guide_coarse: int = 32):
+                        guide_coarse: int = 16):
     """Returns fn(params, surf [N,3], light_dir [L,3]) -> visibility [L,N]
     sharded over a 2-D (rays x lights) mesh: N % ray_devices == 0 and
     L % light_devices == 0 (callers pad both). vis_steps/vis_rescale select

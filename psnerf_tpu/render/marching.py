@@ -144,14 +144,25 @@ def occupancy_guide_grid(
     res: int = 64,
     box: float = 1.1,
     thresh: float = 0.01,
-    dilate: int = 1,
+    dilate: int = 3,
 ) -> jnp.ndarray:
     """Conservative 'might-be-occupied' voxel grid over [-box, box]^3 for
     guided visibility marching: evaluate the field at every cell center
     (res^3 points — one fused-kernel call, ~0.3 GFLOP at 64^3), threshold
     LOW (anything the march could integrate meaningfully), then dilate by
     `dilate` cells of 3^3 max-pool so rays grazing a surface still see the
-    cell. Returns a float {0,1} grid [res, res, res]."""
+    cell. Returns a float {0,1} grid [res, res, res].
+
+    CALIBRATION (must hold or thin occluders can fall between the guided
+    march's coarse probes): the dilated occupied slab is >= (2*dilate+1)
+    cells = (2*dilate+1)*2*box/res thick, and light_visibility probes at
+    spacing <= worst-span/(guide_coarse-1) ~ 2*box*sqrt(3)/(guide_coarse-1).
+    Defaults (res=64, dilate=3, guide_coarse=16) give 0.24 slab vs 0.25
+    worst-case spacing — matched; the measured Pareto point on a trained
+    field (tools/bench_vis_guided_sweep.py: guided-16 here beats
+    rescaled-32 on BOTH time and faithful-agreement). dilate=1 at
+    guide_coarse=32 under-covers (0.10 slab vs 0.12 spacing) and measurably
+    loses agreement (0.992 vs 0.998) — do not ship that combination."""
     half = box / res
     xs = jnp.linspace(-box + half, box - half, res)
     gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
@@ -174,7 +185,7 @@ def light_visibility(
     rescale: bool = False,
     light_chunk: int = 1,
     guide: jnp.ndarray | None = None,
-    guide_coarse: int = 32,
+    guide_coarse: int = 16,
 ) -> jnp.ndarray:
     """Transmittance toward each light: 1 - integrated occupancy along the
     light ray (stage1/model/rendering.py:378-408).
@@ -215,8 +226,12 @@ def light_visibility(
     interval to [lnear, last occupied probe + one coarse step]: the field
     beyond the last occupied voxel cannot contribute occupancy, so the S MLP
     samples concentrate where the object actually is. Typical occupied
-    spans are 30-50% of the box span, so S can drop ~2x below `rescale`'s
-    budget at equal-or-finer spacing inside the span. Rays with NO occupied
+    spans are 30-50% of the box span, so S can drop 2-4x below `rescale`'s
+    budget at equal-or-finer spacing inside the span (sweep-backed: S=16
+    with the default res-64/dilate-3/coarse-16 guide beats rescaled S=32
+    on both wall-clock and faithful-protocol agreement,
+    tools/bench_vis_guided_sweep.py; probe-spacing calibration rule in
+    occupancy_guide_grid's docstring). Rays with NO occupied
     probe collapse to [lnear, lnear+coarse-step]; their samples then sit in
     sub-threshold field (the grid is dilated and thresholded at 0.01), so
     the compositing sum stays near zero as it should.

@@ -400,7 +400,7 @@ class Stage1Runner:
                       vis_plus_rescale: bool | None = None,
                       light_chunk: int | None = None,
                       vis_plus_guided: bool = False,
-                      guide_res: int = 64, guide_coarse: int = 32):
+                      guide_res: int = 64, guide_coarse: int = 16):
         """Export per-view surface points/normals/mask (+ visibility,
         vis_plus) for stage-2 (reference stage1/shape_extract.py:92-171).
         Arrays are saved [H,W,...] like the reference (row-major pixels).
@@ -429,8 +429,12 @@ class Stage1Runner:
         guided interval (render/marching.py `guide`): a guide_res^3 field
         probe (one fused call, built once per export) shrinks each shadow
         ray's march interval to its last-occupied voxel, so vis_plus_steps
-        can drop ~2x below the rescaled budget at equal-or-finer spacing
-        where the object actually is (A/B: tools/bench_shape_export.py)."""
+        can drop 2-4x below the rescaled budget at equal-or-finer spacing
+        where the object actually is. When vis_plus_steps is None under
+        this mode it defaults to 16 — the measured Pareto point (beats
+        rescaled-32 on both time and faithful-agreement,
+        tools/bench_vis_guided_sweep.py; end-to-end A/B:
+        tools/bench_shape_export.py)."""
         data = load_stage1_data(
             self.scene, "all", self.cfg.inten_normalize, self.cfg.train_view,
             self.cfg.train_light, False, self.cfg.render.white_background,
@@ -565,7 +569,9 @@ class Stage1Runner:
         march_fn = lambda params, pix_tile, pose: _march_fn(
             params, pix_tile, data["K"], pose)
         if vis_plus_steps is None:
-            vis_plus_steps = vis_steps
+            # guided: 16 steps over the grid-shrunk interval is the measured
+            # Pareto point (tools/bench_vis_guided_sweep.py)
+            vis_plus_steps = 16 if vis_plus_guided else vis_steps
         if vis_plus_rescale is None:
             vis_plus_rescale = vis_rescale
 

@@ -73,12 +73,14 @@ def main():
         # takes the rescale win on the leg that dominates a 256-dir export
         "mixed": dict(vis_steps=128, vis_rescale=False,
                       vis_plus_steps=64, vis_plus_rescale=True),
-        # mixed + occupancy-grid-GUIDED vis_plus at half the step budget:
-        # each shadow ray's march interval shrinks to its last-occupied
-        # voxel (marching.py occupancy_guide_grid), so 32 steps sample the
-        # object span at least as finely as rescaled-64 samples the box span
+        # mixed + occupancy-grid-GUIDED vis_plus at a quarter of the step
+        # budget: each shadow ray's march interval shrinks to its last-
+        # occupied voxel (marching.py occupancy_guide_grid, res-64/dilate-3/
+        # coarse-16 calibration), so 16 steps sample the object span at
+        # least as finely as rescaled-64 samples the box span — the sweep-
+        # measured Pareto point (tools/bench_vis_guided_sweep.py)
         "guided": dict(vis_steps=128, vis_rescale=False,
-                       vis_plus_steps=32, vis_plus_rescale=True,
+                       vis_plus_steps=16, vis_plus_rescale=True,
                        vis_plus_guided=True),
     }
     summary = {"workdir": args.workdir, "vis_plus_num": args.vis_plus_num}

@@ -60,10 +60,11 @@ def main():
     ap.add_argument("--vis-plus-guided", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="march the vis_plus supervision dirs with the "
-                         "occupancy-grid-guided interval at half the step "
-                         "budget (marching.py occupancy_guide_grid; A/B in "
-                         "RESULTS_export_ab.json). Train-light visibility "
-                         "keeps the --vis-steps/--vis-rescale protocol.")
+                         "occupancy-grid-guided interval at 16 steps (the "
+                         "measured Pareto point; marching.py "
+                         "occupancy_guide_grid, A/B in RESULTS_export_ab"
+                         ".json). Train-light visibility keeps the "
+                         "--vis-steps/--vis-rescale protocol.")
     ap.add_argument("--vis-weight", type=float, default=1.0,
                     help="post-warmup visibility loss weight")
     ap.add_argument("--warmup-iters", type=int, default=300,
@@ -168,9 +169,7 @@ def main():
         exports, visibility=True, vis_plus=True,
         vis_plus_num=args.vis_plus_num, tile=4096, n_steps=256,
         vis_steps=args.vis_steps, vis_rescale=args.vis_rescale,
-        vis_plus_guided=args.vis_plus_guided,
-        vis_plus_steps=(args.vis_steps // 2 if args.vis_plus_guided
-                        else None))
+        vis_plus_guided=args.vis_plus_guided)
     summary["shape_extract_s"] = round(time.time() - t0, 1)
     summary["shape_extract_legs"] = legs
 
